@@ -1,0 +1,247 @@
+"""HTML main-content extraction — the boilerplate-strip kernel.
+
+Re-derives the reference's furniture/body split (K9 in SURVEY §2.2:
+/root/reference/output.json:1 separates `.furniture` header/footer chrome
+from `.body`; exports contain body only) for HTML inputs, using classic
+content-extraction heuristics (boilerpipe/jusText-style):
+
+- block segmentation at block-level elements,
+- link-density scoring (chars inside <a> / block chars),
+- shouting-chrome detection (high caps ratio + short),
+- structural priors (nav/aside/footer ancestors are furniture).
+
+Block classification mirrors the DoclingDocument label set observed in
+output.json:1: h1-h6 -> section_header, p/div text -> text, dl ->
+key_value_area, table -> table (+media_ref), figure/img -> picture
+(+media_ref). Reading order = document order (the body.children traversal).
+
+Vectorized as mapInPandas over Arrow batches — the per-row Python of the
+reference (src/services/rq_tasks.py:10-53) is replaced by batch iteration
+inside the Python worker; no row-at-a-time Spark UDF.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+
+from ..model import (
+    DOCS_EXTRACTED_SCHEMA,
+    K_KEY_VALUE,
+    K_PICTURE,
+    K_SECTION_HEADER,
+    K_TABLE,
+    K_TEXT,
+    METHOD_DEFAULT,
+    METHOD_FAILED,
+)
+
+_BLOCK_TAGS = {
+    "p", "h1", "h2", "h3", "h4", "h5", "h6",
+    "dl", "table", "figure", "ul", "ol", "div", "pre", "blockquote",
+}
+_FURNITURE_TAGS = {"nav", "aside", "footer", "header"}
+_HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+_LINK_DENSITY_MAX = 0.33
+_CAPS_RATIO_MAX = 0.6
+_CAPS_SHORT_WORDS = 20
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict, parent: "_Node | None"):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list = []  # _Node | str
+        self.parent = parent
+
+
+class _TreeBuilder(HTMLParser):
+    _VOID = {"img", "br", "hr", "meta", "link", "input"}
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", {}, None)
+        self._cur = self.root
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, dict(attrs), self._cur)
+        self._cur.children.append(node)
+        if tag not in self._VOID:
+            self._cur = node
+
+    def handle_endtag(self, tag):
+        cur = self._cur
+        while cur is not None and cur.tag != tag:
+            cur = cur.parent
+        if cur is not None and cur.parent is not None:
+            self._cur = cur.parent
+
+    def handle_data(self, data):
+        if data:
+            self._cur.children.append(data)
+
+
+def _text_of(node: _Node) -> str:
+    out: list[str] = []
+
+    def walk(n):
+        for c in n.children:
+            if isinstance(c, str):
+                out.append(c)
+            else:
+                walk(c)
+
+    walk(node)
+    return re.sub(r"\s+", " ", "".join(out)).strip()
+
+
+def _link_chars(node: _Node) -> int:
+    total = 0
+
+    def walk(n, in_a):
+        nonlocal total
+        for c in n.children:
+            if isinstance(c, str):
+                if in_a:
+                    total += len(c.strip())
+            else:
+                walk(c, in_a or c.tag == "a")
+
+    walk(node, node.tag == "a")
+    return total
+
+
+def _caps_ratio(text: str) -> float:
+    letters = [c for c in text if c.isalpha()]
+    if not letters:
+        return 0.0
+    return sum(c.isupper() for c in letters) / len(letters)
+
+
+def _is_boilerplate(node: _Node, text: str, is_heading: bool) -> bool:
+    anc = node.parent
+    while anc is not None:
+        if anc.tag in _FURNITURE_TAGS:
+            return True
+        anc = anc.parent
+    n_chars = len(text)
+    if n_chars == 0:
+        return True
+    if _link_chars(node) / n_chars > _LINK_DENSITY_MAX:
+        return True
+    if not is_heading:
+        words = text.split()
+        if len(words) < _CAPS_SHORT_WORDS and _caps_ratio(text) > _CAPS_RATIO_MAX:
+            return True
+    return False
+
+
+def _classify(node: _Node, doc_num: int) -> tuple[str, str | None, str | None] | None:
+    tag = node.tag
+    if tag in _HEADING_TAGS:
+        return (K_SECTION_HEADER, _text_of(node), None)
+    if tag == "dl":
+        dts = [c for c in node.children if isinstance(c, _Node) and c.tag == "dt"]
+        dds = [c for c in node.children if isinstance(c, _Node) and c.tag == "dd"]
+        k = _text_of(dts[0]) if dts else ""
+        v = _text_of(dds[0]) if dds else ""
+        return (K_KEY_VALUE, f"{k}: {v}", None)
+    if tag == "table":
+        cells = []
+
+        def walk_td(n):
+            for c in n.children:
+                if isinstance(c, _Node):
+                    if c.tag in ("td", "th"):
+                        cells.append(_text_of(c))
+                    else:
+                        walk_td(c)
+
+        walk_td(node)
+        tid = node.attrs.get("id", "")
+        m = re.match(r"tbl-(\d+)$", tid)
+        ref = f"media://{doc_num}/tbl/{m.group(1)}" if m else f"media://{doc_num}/tbl/x"
+        return (K_TABLE, " | ".join(cells), ref)
+    if tag == "figure":
+        imgs = [c for c in node.children if isinstance(c, _Node) and c.tag == "img"]
+        src = imgs[0].attrs.get("src") if imgs else None
+        return (K_PICTURE, None, src)
+    # p / div / pre / blockquote / ul / ol -> plain text block
+    t = _text_of(node)
+    return (K_TEXT, t, None) if t else None
+
+
+def extract_html_document(doc_id: str, html: str) -> list[dict]:
+    """html -> ordered extracted spans (pure function; unit-testable)."""
+    doc_num = int(doc_id.rsplit("-", 1)[1]) if "-" in doc_id else 0
+    tb = _TreeBuilder()
+    tb.feed(html)
+    spans: list[dict] = []
+
+    def walk(node: _Node):
+        for c in node.children:
+            if not isinstance(c, _Node):
+                continue
+            if c.tag in _BLOCK_TAGS:
+                text = _text_of(c)
+                is_heading = c.tag in _HEADING_TAGS
+                if c.tag == "figure" or not _is_boilerplate(c, text or "x", is_heading):
+                    item = _classify(c, doc_num)
+                    if item is not None:
+                        spans.append(
+                            {
+                                "kind": item[0],
+                                "text": item[1],
+                                "media_ref": item[2],
+                                "offset": len(spans),
+                            }
+                        )
+                    continue  # a consumed block is not descended into
+                continue
+            walk(c)
+
+    walk(tb.root)
+    return spans
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            html_parts = [
+                s["text"] for s in spans if s["kind"] == "html" and s["text"]
+            ]
+            try:
+                out = extract_html_document(doc_id, "\n".join(html_parts))
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "spans": out,
+                        "conversion_method": METHOD_DEFAULT,
+                        "error": None,
+                    }
+                )
+            except Exception as e:  # degrade, never die (K10 discipline)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "spans": [],
+                        "conversion_method": METHOD_FAILED,
+                        "error": str(e)[:500],
+                    }
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "spans", "conversion_method", "error"])
+
+
+def extract_html(df):
+    """DataFrame(doc_id, spans raw) -> DataFrame(doc_id, spans extracted,
+    conversion_method, error). Narrow map stage — no shuffle."""
+    return df.select("doc_id", "spans").mapInPandas(
+        _extract_batches, schema=DOCS_EXTRACTED_SCHEMA
+    )

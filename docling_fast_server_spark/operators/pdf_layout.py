@@ -1,0 +1,138 @@
+"""PDF layout parse — page segmentation, reading order, block labels.
+
+Re-derives the reference's PDF conversion kernel semantics (SURVEY §2.2
+K1/K3/K4/K5/K10; /root/reference/src/services/pdf_processor.py:118-201 and
+the observable contract in output.json:1):
+
+- K1: raw layout cells carry JSON provenance {p, l, t, r, b, fs[, text|
+  cells]} — the prov contract of output.json:1 .texts[*].prov (page_no,
+  bbox l/t/r/b with BOTTOMLEFT origin, i.e. larger t = higher on page).
+- K3 reading order: cells are stored in arbitrary order; we reconstruct
+  the body.children traversal by sorting (page asc, column asc, top desc).
+  Column assignment splits at the page midline (output.json:1 page width
+  612). A production build would 1-D-cluster the left edges; the midline
+  split is the deterministic core of that.
+- K4 labeling: font-size >= 16 -> section_header (display vs body type);
+  'word: word' shape -> key_value_area; else text.
+- K5 table structure: pdf_table cells carry their grid; flattened to
+  ' | '-joined text + media_ref.
+- K10 degraded tier: any malformed provenance triggers a full-document
+  retry with media enrichment disabled (`limited`), mirroring
+  pdf_processor.py:191-201 — degrade deterministically, never fail the
+  task for one bad document.
+
+Vectorized as mapInPandas over Arrow batches (no per-row Python at the
+Spark level; the reference's one-file-at-a-time rq_tasks.py:10-53 is the
+anti-pattern this replaces).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ..model import (
+    DOCS_EXTRACTED_SCHEMA,
+    K_KEY_VALUE,
+    K_PICTURE,
+    K_SECTION_HEADER,
+    K_TABLE,
+    K_TEXT,
+    METHOD_DEFAULT,
+    METHOD_FAILED,
+    METHOD_LIMITED,
+)
+
+_PAGE_MID = 612.0 / 2.0
+_HEADER_FS = 16.0
+_KV_RE = re.compile(r"^\S+: \S+$")
+_MEDIA_KINDS = ("pdf_image", "pdf_table")
+
+
+def _parse_cells(raw_spans, include_media: bool) -> list[tuple]:
+    """raw span dicts -> [(page, col, -top, kind, text, media_ref)].
+    Raises ValueError on malformed provenance (the K10 trigger)."""
+    cells = []
+    for s in raw_spans:
+        kind = s["kind"]
+        if kind in _MEDIA_KINDS and not include_media:
+            continue
+        try:
+            prov = json.loads(s["text"])
+        except (json.JSONDecodeError, TypeError) as e:
+            raise ValueError(f"malformed provenance in {kind} cell") from e
+        page = int(prov["p"])
+        left = float(prov["l"])
+        top = float(prov["t"])
+        col = 0 if left < _PAGE_MID else 1
+        if kind == "pdf_cell":
+            fs = float(prov.get("fs", 11.0))
+            text = prov.get("text", "")
+            if fs >= _HEADER_FS:
+                label = K_SECTION_HEADER
+            elif _KV_RE.match(text):
+                label = K_KEY_VALUE
+            else:
+                label = K_TEXT
+            cells.append((page, col, -top, label, text, None))
+        elif kind == "pdf_table":
+            text = " | ".join(prov.get("cells", []))
+            cells.append((page, col, -top, K_TABLE, text, s["media_ref"]))
+        elif kind == "pdf_image":
+            cells.append((page, col, -top, K_PICTURE, None, s["media_ref"]))
+        # unknown kinds are ignored (forward compatibility)
+    cells.sort(key=lambda c: (c[0], c[1], c[2]))
+    return cells
+
+
+def extract_pdf_document(raw_spans) -> tuple[list[dict], str]:
+    """raw cell spans -> (ordered extracted spans, conversion_method)."""
+    try:
+        cells = _parse_cells(raw_spans, include_media=True)
+        method = METHOD_DEFAULT
+    except ValueError:
+        # the limited retry: text-only pipeline, media enrichment off
+        cells = _parse_cells(raw_spans, include_media=False)
+        method = METHOD_LIMITED
+    spans = [
+        {"kind": k, "text": t, "media_ref": m, "offset": i}
+        for i, (_, _, _, k, t, m) in enumerate(cells)
+    ]
+    return spans, method
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+            try:
+                out, method = extract_pdf_document(spans)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "spans": out,
+                        "conversion_method": method,
+                        "error": None,
+                    }
+                )
+            except Exception as e:
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "spans": [],
+                        "conversion_method": METHOD_FAILED,
+                        "error": str(e)[:500],
+                    }
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "spans", "conversion_method", "error"])
+
+
+def extract_pdf(df):
+    """DataFrame(doc_id, spans raw pdf cells) -> extracted spans.
+    Narrow map stage — no shuffle."""
+    return df.select("doc_id", "spans").mapInPandas(
+        _extract_batches, schema=DOCS_EXTRACTED_SCHEMA
+    )

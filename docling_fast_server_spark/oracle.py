@@ -1,0 +1,92 @@
+"""DuckDB oracle SQL builders.
+
+These reconstruct the *expected* extraction output directly from the
+`documents` table via the same deterministic item spec as corpus.py
+(keep constants in sync!) — so the Spark path (generate raw HTML/PDF
+cells -> parse -> extract) is verified against an independent relational
+derivation. This is the SQL form of the reference's golden-fixture
+strategy (/root/reference/output.json:1 as captured truth).
+
+All oracle queries emit explicitly CAST columns so the driver's
+schema + value-hash compare is type-stable across DuckDB and Spark.
+"""
+
+from __future__ import annotations
+
+from .corpus import (
+    DEGRADED_MOD,
+    HDR_WORDS,
+    HEADER_EVERY,
+    KV_EVERY,
+    PARA_WORDS,
+    PIC_MOD,
+    TBL_CELLS,
+    TBL_MOD,
+    TBL_REM,
+)
+
+# maximum paragraphs per doc: documents.text <= ~600 chars -> < 64 paras.
+_MAX_PARAS = 256
+
+
+def expected_spans_sql(which: str = "all") -> str:
+    """Exploded expected spans: (doc_id, kind, text, media_ref, offset).
+
+    which: 'all' | 'html' (even ids) | 'pdf' (odd ids, degraded tier
+    applied: docs with doc_id % DEGRADED_MOD == 0 lose picture/table —
+    the `limited` pipeline of pdf_processor.py:144-166).
+    """
+    if which == "html":
+        doc_filter = "WHERE doc_id % 2 = 0"
+        limited = "AND FALSE"  # html docs never degrade
+    elif which == "pdf":
+        doc_filter = "WHERE doc_id % 2 = 1"
+        limited = f"AND doc_id % {DEGRADED_MOD} = 0"
+    else:
+        doc_filter = ""
+        limited = f"AND (doc_id % 2 = 1 AND doc_id % {DEGRADED_MOD} = 0)"
+
+    p = PARA_WORDS
+    return f"""
+WITH src AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents {doc_filter}
+),
+par AS (
+  SELECT doc_id, w, CAST(gs.i AS BIGINT) AS i,
+         array_to_string(list_slice(w, i*{p}+1, i*{p}+{p}), ' ') AS ptext
+  FROM src, (SELECT unnest(range({_MAX_PARAS})) AS i) gs
+  WHERE gs.i * {p} < len(w)
+),
+items AS (
+  SELECT doc_id, i, 0 AS rnk, 'section_header' AS kind,
+         upper(array_to_string(list_slice(w, i*{p}+1, i*{p}+{HDR_WORDS}), ' ')) AS text,
+         CAST(NULL AS VARCHAR) AS media_ref
+  FROM par WHERE i % {HEADER_EVERY} = 0
+  UNION ALL
+  SELECT doc_id, i, 1, 'text', ptext, CAST(NULL AS VARCHAR) FROM par
+  UNION ALL
+  SELECT doc_id, i, 2, 'key_value_area',
+         w[CAST(i*{p}+1 AS INTEGER)] || ': ' || w[CAST(i*{p}+2 AS INTEGER)],
+         CAST(NULL AS VARCHAR)
+  FROM par WHERE i % {KV_EVERY} = {KV_EVERY - 1} AND len(w) >= i*{p}+2
+  UNION ALL
+  SELECT doc_id, i, 3, 'picture', CAST(NULL AS VARCHAR),
+         'media://' || doc_id || '/img/' || i
+  FROM par WHERE (doc_id + i) % {PIC_MOD} = 0 AND NOT (TRUE {limited})
+  UNION ALL
+  SELECT doc_id, i, 4, 'table',
+         array_to_string(list_slice(w, i*{p}+1, i*{p}+{TBL_CELLS}), ' | '),
+         'media://' || doc_id || '/tbl/' || i
+  FROM par WHERE (doc_id + i) % {TBL_MOD} = {TBL_REM} AND NOT (TRUE {limited})
+)
+SELECT 'doc-' || lpad(CAST(doc_id AS VARCHAR), 6, '0') AS doc_id,
+       CAST(kind AS VARCHAR) AS kind,
+       CAST(text AS VARCHAR) AS text,
+       CAST(media_ref AS VARCHAR) AS media_ref,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i, rnk) - 1 AS INTEGER) AS "offset"
+FROM items
+"""
+
+
+def doc_id_sql_expr(col: str = "doc_id") -> str:
+    return f"'doc-' || lpad(CAST({col} AS VARCHAR), 6, '0')"

@@ -1,0 +1,95 @@
+"""Span-equality golden tests for both extraction kernels.
+
+The invariant (BASELINE.json input_hint): for every doc_id, extracted
+spans == expected spans on (kind, text, media_ref, order) — the
+output.json:1 golden-fixture discipline of the reference.
+"""
+
+import pandas as pd
+
+from docling_fast_server_spark.corpus import (
+    expected_spans,
+    is_degraded,
+    is_pdf_doc,
+    render_html,
+    render_pdf_cells,
+)
+from docling_fast_server_spark.model import doc_id_str
+from docling_fast_server_spark.operators.html_extract import extract_html_document
+from docling_fast_server_spark.operators.pdf_layout import extract_pdf_document
+
+
+def _as_tuples(spans):
+    return [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+
+
+def test_html_span_equality_all_docs(documents_pdf):
+    checked = 0
+    for doc_id, text in documents_pdf:
+        if is_pdf_doc(doc_id):
+            continue
+        got = extract_html_document(doc_id_str(doc_id), render_html(doc_id, text))
+        want = expected_spans(doc_id, text)
+        assert _as_tuples(got) == _as_tuples(want), f"doc {doc_id}"
+        checked += 1
+    assert checked > 100
+
+
+def test_pdf_span_equality_all_docs(documents_pdf):
+    checked = degraded = 0
+    for doc_id, text in documents_pdf:
+        if not is_pdf_doc(doc_id):
+            continue
+        got, method = extract_pdf_document(render_pdf_cells(doc_id, text))
+        want = expected_spans(doc_id, text)
+        assert _as_tuples(got) == _as_tuples(want), f"doc {doc_id}"
+        has_media = any(
+            c["kind"] in ("pdf_image", "pdf_table")
+            for c in render_pdf_cells(doc_id, text)
+        )
+        if is_degraded(doc_id) and has_media:
+            assert method == "limited", f"doc {doc_id} should degrade"
+            degraded += 1
+        else:
+            assert method == "default"
+        checked += 1
+    assert checked > 100 and degraded > 0
+
+
+def test_multicolumn_reading_order():
+    """Two-column docs (doc_id % 4 == 1) must come back in logical order
+    even though cells are stored shuffled — K3 reading-order recovery."""
+    text = " ".join(f"tok{i}" for i in range(400))  # ~40 paragraphs
+    doc_id = 5  # odd (pdf), % 4 == 1 (two-column), not degraded
+    cells = render_pdf_cells(doc_id, text)
+    pages = {}
+    import json
+
+    for c in cells:
+        prov = json.loads(c["text"])
+        pages.setdefault(prov["p"], set()).add(0 if prov["l"] < 306 else 1)
+    assert any(cols == {0, 1} for cols in pages.values()), "fixture not two-column"
+    got, method = extract_pdf_document(cells)
+    assert method == "default"
+    assert _as_tuples(got) == _as_tuples(expected_spans(doc_id, text))
+
+
+def test_extract_dataframes_roundtrip(spark, sf_dir):
+    """End-to-end through Spark mapInPandas on a small slice."""
+    from pyspark.sql import functions as F
+
+    from docling_fast_server_spark.corpus import docs_raw
+    from docling_fast_server_spark.operators.html_extract import extract_html
+    from docling_fast_server_spark.operators.pdf_layout import extract_pdf
+
+    raw_html = docs_raw(spark, sf_dir, which="html").limit(20)
+    out = extract_html(raw_html).withColumn("n", F.size("spans"))
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(r["conversion_method"] == "default" for r in rows)
+    assert all(r["n"] > 0 for r in rows)
+
+    raw_pdf = docs_raw(spark, sf_dir, which="pdf").limit(20)
+    rows = extract_pdf(raw_pdf).collect()
+    assert len(rows) == 20
+    assert all(r["conversion_method"] in ("default", "limited") for r in rows)
