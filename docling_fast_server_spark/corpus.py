@@ -25,6 +25,9 @@ Logical item spec (shared with oracle.py — keep in sync!):
     i % 3 == 0                -> section_header = first 4 words, uppercased
     always                    -> text = the paragraph
     i % 5 == 4 and >=2 words  -> key_value_area = 'w0: w1'
+    i % 13 == 7 and >=2 words -> code = 'def w0(): return w1' (K8; the
+                                 limited tier keeps text, loses the label)
+    i % 9 == 5 and >=3 words -> formula = 'w0 = w1 + w2' (K8, same rule)
     (doc_id+i) % 7 == 0       -> picture, media_ref media://{id}/img/{i}
     (doc_id+i) % 11 == 3      -> table, text = first 6 words ' | '-joined,
                                  media_ref media://{id}/tbl/{i}
@@ -39,6 +42,8 @@ from collections.abc import Iterator
 import pandas as pd
 
 from .model import (
+    K_CODE,
+    K_FORMULA,
     K_KEY_VALUE,
     K_PICTURE,
     K_SECTION_HEADER,
@@ -55,6 +60,10 @@ TBL_MOD = 11  # (doc_id + i) % 11 == 3
 TBL_REM = 3
 TBL_CELLS = 6
 HDR_WORDS = 4
+CODE_MOD = 13  # i % 13 == 7 -> code block (K8 enrichment)
+CODE_REM = 7
+FORMULA_MOD = 9  # i % 9 == 5 -> formula (K8 enrichment)
+FORMULA_REM = 5
 DEGRADED_MOD = 17  # pdf docs with doc_id % 17 == 0 -> corrupt media prov
 
 PAGE_W, PAGE_H = 612.0, 792.0  # output.json:1 .pages["1"].size
@@ -64,6 +73,8 @@ ITEM_H = {
     K_SECTION_HEADER: 28.0,
     K_TEXT: 16.0,
     K_KEY_VALUE: 16.0,
+    K_CODE: 20.0,
+    K_FORMULA: 18.0,
     K_PICTURE: 90.0,
     K_TABLE: 120.0,
 }
@@ -97,6 +108,14 @@ def logical_items(
         items.append((K_TEXT, " ".join(pw), None))
         if i % KV_EVERY == KV_EVERY - 1 and len(pw) >= 2:
             items.append((K_KEY_VALUE, f"{pw[0]}: {pw[1]}", None))
+        # K8 enrichment: the limited tier keeps the text but loses the
+        # enriched label (do_code/formula_enrichment off -> plain text)
+        if i % CODE_MOD == CODE_REM and len(pw) >= 2:
+            t = f"def {pw[0]}(): return {pw[1]}"
+            items.append((K_TEXT if limited else K_CODE, t, None))
+        if i % FORMULA_MOD == FORMULA_REM and len(pw) >= 3:
+            t = f"{pw[0]} = {pw[1]} + {pw[2]}"
+            items.append((K_TEXT if limited else K_FORMULA, t, None))
         if (doc_id + i) % PIC_MOD == 0 and not limited:
             items.append((K_PICTURE, None, f"media://{doc_id}/img/{i}"))
         if (doc_id + i) % TBL_MOD == TBL_REM and not limited:
@@ -133,6 +152,10 @@ def render_html(doc_id: int, text: str) -> str:
         elif kind == K_KEY_VALUE:
             k, v = t.split(": ", 1)
             parts.append(f'<dl class="kv"><dt>{k}</dt><dd>{v}</dd></dl>')
+        elif kind == K_CODE:
+            parts.append(f"<pre><code>{t}</code></pre>")
+        elif kind == K_FORMULA:
+            parts.append(f'<div class="math">{t}</div>')
         elif kind == K_PICTURE:
             parts.append(f'<figure><img src="{m}" alt=""/></figure>')
         elif kind == K_TABLE:

@@ -35,8 +35,14 @@ K_TEXT = "text"
 K_KEY_VALUE = "key_value_area"
 K_PICTURE = "picture"
 K_TABLE = "table"
+# K8 enrichment kinds (pdf_processor.py:133-134: do_code_enrichment,
+# do_formula_enrichment — disabled on the limited tier, 144-166)
+K_CODE = "code"
+K_FORMULA = "formula"
 
-EXTRACTED_KINDS = (K_SECTION_HEADER, K_TEXT, K_KEY_VALUE, K_PICTURE, K_TABLE)
+EXTRACTED_KINDS = (
+    K_SECTION_HEADER, K_TEXT, K_KEY_VALUE, K_PICTURE, K_TABLE, K_CODE, K_FORMULA
+)
 
 # conversion methods — the two-tier pipeline of the reference
 # (pdf_processor.py:118-166: default vs limited; ocr.py:35-37 validates

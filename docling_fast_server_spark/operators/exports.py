@@ -1,0 +1,115 @@
+"""Serialization exports — markdown / html / doctags / canonical json.
+
+The reference materializes four serializations from one converted document
+(/root/reference/src/services/pdf_processor.py:203-224: export_to_doctags/
+dict/markdown/html) — all pure functions of the item tree in reading order
+(output.json:1 .files.markdown: '## ' per section_header, body order
+preserved; ImageRefMode.EMBEDDED inlines media by reference).
+
+Here they are pure functions of the spans array, built entirely from
+JVM-side expressions (transform + array_join inside whole-stage codegen):
+no Python in the hot path, so the export stage adds no Arrow round-trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..model import (
+    K_CODE,
+    K_FORMULA,
+    K_KEY_VALUE,
+    K_PICTURE,
+    K_SECTION_HEADER,
+    K_TABLE,
+    K_TEXT,
+)
+
+
+def _render_md(s: Column) -> Column:
+    return (
+        F.when(s["kind"] == K_SECTION_HEADER, F.concat(F.lit("## "), s["text"]))
+        .when(s["kind"] == K_TEXT, s["text"])
+        .when(s["kind"] == K_KEY_VALUE, F.concat(F.lit("- "), s["text"]))
+        .when(s["kind"] == K_CODE, F.concat(F.lit("```\n"), s["text"], F.lit("\n```")))
+        .when(s["kind"] == K_FORMULA, F.concat(F.lit("$$ "), s["text"], F.lit(" $$")))
+        .when(s["kind"] == K_TABLE, F.concat(F.lit("| "), s["text"], F.lit(" |")))
+        .when(s["kind"] == K_PICTURE, F.concat(F.lit("![image]("), s["media_ref"], F.lit(")")))
+        .otherwise(F.coalesce(s["text"], F.lit("")))
+    )
+
+
+def _render_html(s: Column) -> Column:
+    kv_k = F.substring_index(s["text"], ": ", 1)
+    kv_v = F.substring_index(s["text"], ": ", -1)
+    return (
+        F.when(s["kind"] == K_SECTION_HEADER, F.concat(F.lit("<h2>"), s["text"], F.lit("</h2>")))
+        .when(s["kind"] == K_TEXT, F.concat(F.lit("<p>"), s["text"], F.lit("</p>")))
+        .when(
+            s["kind"] == K_KEY_VALUE,
+            F.concat(F.lit("<dl><dt>"), kv_k, F.lit("</dt><dd>"), kv_v, F.lit("</dd></dl>")),
+        )
+        .when(s["kind"] == K_CODE, F.concat(F.lit("<pre><code>"), s["text"], F.lit("</code></pre>")))
+        .when(s["kind"] == K_FORMULA, F.concat(F.lit('<div class="math">'), s["text"], F.lit("</div>")))
+        .when(
+            s["kind"] == K_TABLE,
+            F.concat(F.lit('<table data-ref="'), s["media_ref"], F.lit('">'), s["text"], F.lit("</table>")),
+        )
+        .when(s["kind"] == K_PICTURE, F.concat(F.lit('<img src="'), s["media_ref"], F.lit('"/>')))
+        .otherwise(F.coalesce(s["text"], F.lit("")))
+    )
+
+
+def _render_doctags(s: Column) -> Column:
+    body = F.coalesce(s["text"], s["media_ref"], F.lit(""))
+    return F.concat(F.lit("<"), s["kind"], F.lit(">"), body, F.lit("</"), s["kind"], F.lit(">"))
+
+
+def _render_json(s: Column) -> Column:
+    """Canonical one-line JSON per span (stable field order, nulls kept) —
+    engine-neutral so the DuckDB oracle can reproduce it with string
+    concatenation. The export_to_dict analog (pdf_processor.py:211)."""
+
+    def q(c: Column) -> Column:
+        # our corpus text never contains quotes/backslashes; a production
+        # build would escape here (documented contract of the canonical form)
+        return F.when(c.isNull(), F.lit("null")).otherwise(F.concat(F.lit('"'), c, F.lit('"')))
+
+    return F.concat(
+        F.lit('{"kind":'), q(s["kind"]),
+        F.lit(',"text":'), q(s["text"]),
+        F.lit(',"media_ref":'), q(s["media_ref"]),
+        F.lit(',"offset":'), s["offset"].cast("string"),
+        F.lit("}"),
+    )
+
+
+def spans_to_markdown(spans: Column) -> Column:
+    return F.array_join(F.transform(spans, _render_md), "\n\n")
+
+
+def spans_to_html(spans: Column) -> Column:
+    return F.array_join(F.transform(spans, _render_html), "\n")
+
+
+def spans_to_doctags(spans: Column) -> Column:
+    return F.array_join(F.transform(spans, _render_doctags), "\n")
+
+
+def spans_to_json(spans: Column) -> Column:
+    return F.concat(F.lit("["), F.array_join(F.transform(spans, _render_json), ","), F.lit("]"))
+
+
+def with_exports(df, spans_col: str = "spans"):
+    """Fan out all four serializations — the get_output() analog
+    (pdf_processor.py:203-224). One narrow projection, zero shuffles."""
+    s = F.col(spans_col)
+    return df.withColumns(
+        {
+            "markdown": spans_to_markdown(s),
+            "html": spans_to_html(s),
+            "doctags": spans_to_doctags(s),
+            "doc_json": spans_to_json(s),
+        }
+    )

@@ -30,6 +30,8 @@ import pandas as pd
 
 from ..model import (
     DOCS_EXTRACTED_SCHEMA,
+    K_CODE,
+    K_FORMULA,
     K_KEY_VALUE,
     K_PICTURE,
     K_SECTION_HEADER,
@@ -172,7 +174,13 @@ def _classify(node: _Node, doc_num: int) -> tuple[str, str | None, str | None] |
         imgs = [c for c in node.children if isinstance(c, _Node) and c.tag == "img"]
         src = imgs[0].attrs.get("src") if imgs else None
         return (K_PICTURE, None, src)
-    # p / div / pre / blockquote / ul / ol -> plain text block
+    if tag == "pre":
+        # K8 code enrichment: monospace block -> code
+        return (K_CODE, _text_of(node), None)
+    if tag == "div" and "math" in node.attrs.get("class", ""):
+        # K8 formula enrichment: math container -> formula
+        return (K_FORMULA, _text_of(node), None)
+    # p / div / blockquote / ul / ol -> plain text block
     t = _text_of(node)
     return (K_TEXT, t, None) if t else None
 

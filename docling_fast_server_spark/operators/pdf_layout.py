@@ -36,6 +36,8 @@ import pandas as pd
 
 from ..model import (
     DOCS_EXTRACTED_SCHEMA,
+    K_CODE,
+    K_FORMULA,
     K_KEY_VALUE,
     K_PICTURE,
     K_SECTION_HEADER,
@@ -49,12 +51,17 @@ from ..model import (
 _PAGE_MID = 612.0 / 2.0
 _HEADER_FS = 16.0
 _KV_RE = re.compile(r"^\S+: \S+$")
+# K8 enrichment heuristics (content shape, the do_code/do_formula analog)
+_CODE_RE = re.compile(r"^def \S+\(\): return ")
+_FORMULA_RE = re.compile(r"^\S+ = \S+ \+ \S+$")
 _MEDIA_KINDS = ("pdf_image", "pdf_table")
 
 
-def _parse_cells(raw_spans, include_media: bool) -> list[tuple]:
+def _parse_cells(raw_spans, include_media: bool, enrich: bool = True) -> list[tuple]:
     """raw span dicts -> [(page, col, -top, kind, text, media_ref)].
-    Raises ValueError on malformed provenance (the K10 trigger)."""
+    Raises ValueError on malformed provenance (the K10 trigger).
+    ``enrich=False`` = the limited tier: code/formula enrichment off
+    (pdf_processor.py:144-166), those cells label as plain text."""
     cells = []
     for s in raw_spans:
         kind = s["kind"]
@@ -75,6 +82,10 @@ def _parse_cells(raw_spans, include_media: bool) -> list[tuple]:
                 label = K_SECTION_HEADER
             elif _KV_RE.match(text):
                 label = K_KEY_VALUE
+            elif enrich and _CODE_RE.match(text):
+                label = K_CODE
+            elif enrich and _FORMULA_RE.match(text):
+                label = K_FORMULA
             else:
                 label = K_TEXT
             cells.append((page, col, -top, label, text, None))
@@ -91,11 +102,11 @@ def _parse_cells(raw_spans, include_media: bool) -> list[tuple]:
 def extract_pdf_document(raw_spans) -> tuple[list[dict], str]:
     """raw cell spans -> (ordered extracted spans, conversion_method)."""
     try:
-        cells = _parse_cells(raw_spans, include_media=True)
+        cells = _parse_cells(raw_spans, include_media=True, enrich=True)
         method = METHOD_DEFAULT
     except ValueError:
-        # the limited retry: text-only pipeline, media enrichment off
-        cells = _parse_cells(raw_spans, include_media=False)
+        # the limited retry: media + code/formula enrichment off
+        cells = _parse_cells(raw_spans, include_media=False, enrich=False)
         method = METHOD_LIMITED
     spans = [
         {"kind": k, "text": t, "media_ref": m, "offset": i}

@@ -1,0 +1,259 @@
+"""Relational operators — the control-plane dataflow of the reference,
+re-expressed over DataFrames (SURVEY §2.3-2.6 inventory).
+
+The reference's queue/job-store layer is a collection of filters,
+projections, point lookups, dedups, aggregations and top-k scans over job
+rows (src/services/queue_manager.py, job_db.py, redis_job_store.py,
+src/routes/jobs.py). Rows are the queue here, so those operators become
+plain Catalyst-optimized DataFrame ops over the synthetic tables. Every
+query aliases its computed columns to match the DuckDB oracle exactly.
+
+All queries take (spark, sf_dir) and load parquet directly so filters and
+projections push into the scan (verify with .explain: PushedFilters /
+ReadSchema).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- P5/A1: status histogram (queue_manager.py:853-858, jobs.py:114-118) --
+def q_status_histogram(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+# --- P7: retention/age predicate (queue_manager.py:804-819; job_db.py:241-260
+# SQL `DELETE WHERE created_at < ?`) — expressed as the keep-side scan -----
+def q_retention_keep(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("ts") >= F.lit("2024-01-04 00:00:00").cast("timestamp"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("kept"),
+            F.round(F.sum("value"), 2).alias("kept_value"),
+        )
+    )
+
+
+# --- T1/T4: recent-jobs top-k (queue_manager.py:889-900; job_db.py:262-271
+# ORDER BY created_at DESC) — deterministic tiebreak on the key ------------
+def q_recent_topk(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+# --- T2: log merge-sort, oldest 20 (src/routes/jobs.py:122-137) -----------
+def q_log_head(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .limit(20)
+        .select("event_id", "ts", "event_type")
+    )
+
+
+# --- P3/P4: result projection + truncation (queue_manager.py:325-401:
+# truncate strings >500, derive total_characters / previews) ---------------
+def q_result_projection(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 200).alias("preview"),
+        F.length("text").cast("long").alias("total_characters"),
+        (F.floor(F.length("text") / 2000) + 1).cast("long").alias("pages_est"),
+    )
+
+
+# --- A2/A3: character/page aggregates per group (queue_manager.py:381-388) -
+def q_char_agg(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.sum(F.length("text")).cast("long").alias("total_characters"),
+            F.max(F.floor(F.length("text") / 2000) + 1).cast("long").alias("max_pages_est"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+    )
+
+
+# --- A7: per-group duration stats (tests/test_concurrent.py:101-119) ------
+def q_grouped_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+
+
+# --- J3: key lookup joins -> broadcast dim joins (queue_manager.py:691-716
+# point lookup becomes a broadcast hash join of small dims) ----------------
+def q_region_revenue(spark, sf_dir):
+    """Revenue per region: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region.
+    nation/region are tiny -> broadcast; customer at 100TB scale is
+    bucket/shuffle-joined on the key. Aliased for the oracle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.round(F.sum("rev"), 1).alias("revenue"), F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
+# --- the TPC-H Q1-shaped pricing summary (the A-class showpiece; also the
+# reference's A1/A2 histogram+sum pattern at data scale) --------------------
+def q_pricing_summary(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 1).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 1).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+# --- T5: size-band selection (test_runpod_medium_ocr.py:25-37: the
+# 200-400 band; min-size pick of test_runpod_small_ocr.py:26) ---------------
+def q_size_band(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("n_chars") >= 200) & (F.col("n_chars") <= 400))
+        .orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+        .limit(5)
+        .select("doc_id", "n_chars")
+    )
+
+
+# --- J4: tracked ∩ recent (test_batch_processing.py:225-238) ---------------
+def q_tracked_intersection(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    tracked = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return (
+        ev.join(tracked, "user_id", "inner")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+ORACLES = {
+    "status_histogram": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    "retention_keep": """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS kept,
+               round(sum(value), 2) AS kept_value
+        FROM events WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+        GROUP BY event_type
+    """,
+    "recent_topk": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 10
+    """,
+    "log_head": """
+        SELECT event_id, ts, event_type
+        FROM events ORDER BY ts ASC, event_id ASC LIMIT 20
+    """,
+    "result_projection": """
+        SELECT doc_id, substring(text, 1, 200) AS preview,
+               CAST(length(text) AS BIGINT) AS total_characters,
+               CAST(length(text) // 2000 + 1 AS BIGINT) AS pages_est
+        FROM documents
+    """,
+    "char_agg": """
+        SELECT source, CAST(sum(length(text)) AS BIGINT) AS total_characters,
+               CAST(max(length(text) // 2000 + 1) AS BIGINT) AS max_pages_est,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    """,
+    "grouped_stats": """
+        SELECT event_type, round(avg(value), 4) AS avg_value,
+               round(min(value), 4) AS min_value,
+               round(max(value), 4) AS max_value,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type
+    """,
+    "region_revenue": """
+        SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 1) AS revenue,
+               CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 1) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 1) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "size_band": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars BETWEEN 200 AND 400
+        ORDER BY n_chars ASC, doc_id ASC LIMIT 5
+    """,
+    "tracked_intersection": """
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE user_id IN (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+        GROUP BY user_id
+        ORDER BY n_events DESC, user_id ASC LIMIT 10
+    """,
+}
+
+QUERIES = {
+    "status_histogram": q_status_histogram,
+    "retention_keep": q_retention_keep,
+    "recent_topk": q_recent_topk,
+    "log_head": q_log_head,
+    "result_projection": q_result_projection,
+    "char_agg": q_char_agg,
+    "grouped_stats": q_grouped_stats,
+    "region_revenue": q_region_revenue,
+    "pricing_summary": q_pricing_summary,
+    "size_band": q_size_band,
+    "tracked_intersection": q_tracked_intersection,
+}

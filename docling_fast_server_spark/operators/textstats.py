@@ -1,0 +1,155 @@
+"""Text analysis — language-ID, quality scoring, token counting,
+document fingerprinting.
+
+The training-data-pipeline companions to extraction: all pure JVM-side
+expressions (split/filter/aggregate higher-order functions — no Python),
+each exactly reproducible in the DuckDB oracle.
+
+- token count: whitespace tokenization (the reference counts characters
+  per file, queue_manager.py:381-388; token count is the corpus-scale
+  version of that metric).
+- quality: stopword ratio + length saturation — the jusText-style density
+  scoring used for boilerplate in html_extract, applied corpus-wide.
+- lang-id: stopword-profile heuristic (en profile; the reference pins
+  OCR lang=['en'], pdf_processor.py:105).
+- fingerprint: dictionary-rank polynomial rolling hash — deterministic
+  across engines (no engine-specific hash functions), the binary_hash
+  analog (output.json:1 .origin.binary_hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+EN_THRESHOLD = 0.02
+FP_PRIME = 1_000_003
+FP_MOD = 2_147_483_647
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_token_count(spark, sf_dir):
+    w = F.split(F.col("text"), " ")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_actual
+    FROM documents
+"""
+
+
+def q_quality(spark, sf_dir):
+    w = F.split(F.col("text"), " ")
+    stop_in = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
+    n = F.size(w)
+    stop_ratio = stop_in / n
+    mean_wlen = (F.length("text") - n + 1) / n
+    score = F.round(stop_ratio * 0.5 + F.least(n / 100.0, F.lit(1.0)) * 0.5, 4)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
+_STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+
+ORACLE_QUALITY = f"""
+    WITH t AS (
+      SELECT doc_id, text, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           round(CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS DOUBLE) / n, 4) AS stopword_ratio,
+           round(CAST(length(text) - n + 1 AS DOUBLE) / n, 4) AS mean_word_len,
+           round(CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS DOUBLE) / n * 0.5
+                 + least(n / 100.0, 1.0) * 0.5, 4) AS quality_score
+    FROM t
+"""
+
+
+def q_langid(spark, sf_dir):
+    w = F.split(F.col("text"), " ")
+    ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) / F.size(w)
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(ratio > EN_THRESHOLD, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+        F.round(ratio, 4).alias("en_score"),
+    )
+
+
+ORACLE_LANGID = f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           CASE WHEN CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS DOUBLE) / len(w)
+                     > {EN_THRESHOLD} THEN 'en' ELSE 'unk' END AS lang_pred,
+           round(CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS DOUBLE) / len(w), 4) AS en_score
+    FROM t
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Polynomial rolling hash over (global word rank, position) — pure
+    integer arithmetic so the oracle reproduces it bit-exactly. The word
+    dictionary is a broadcastable dimension at any scale."""
+    docs = _docs(spark, sf_dir).select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+    dic = (
+        docs.select("word")
+        .distinct()
+        .withColumn("r", F.dense_rank().over(Window.orderBy("word")).cast("long"))
+    )
+    return (
+        docs.join(F.broadcast(dic), "word")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(((F.col("r") + 1) * (F.col("pos") + 1) * FP_PRIME) % FP_MOD) % FP_MOD
+            ).cast("long").alias("fingerprint"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+    WITH words AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, w[CAST(u.i + 1 AS INTEGER)] AS word
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+           unnest(range(4096)) AS u(i)
+      WHERE u.i < len(w)
+    ),
+    dict AS (
+      SELECT word, CAST(dense_rank() OVER (ORDER BY word) AS BIGINT) AS r
+      FROM (SELECT DISTINCT word FROM words)
+    )
+    SELECT doc_id,
+           CAST(sum(((r + 1) * (pos + 1) * {FP_PRIME}) % {FP_MOD}) % {FP_MOD} AS BIGINT) AS fingerprint,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM words JOIN dict USING (word)
+    GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "ts_token_count": q_token_count,
+    "ts_quality": q_quality,
+    "ts_langid": q_langid,
+    "ts_fingerprint": q_fingerprint,
+}
+ORACLES = {
+    "ts_token_count": ORACLE_TOKEN_COUNT,
+    "ts_quality": ORACLE_QUALITY,
+    "ts_langid": ORACLE_LANGID,
+    "ts_fingerprint": ORACLE_FINGERPRINT,
+}

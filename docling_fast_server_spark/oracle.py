@@ -14,7 +14,11 @@ schema + value-hash compare is type-stable across DuckDB and Spark.
 from __future__ import annotations
 
 from .corpus import (
+    CODE_MOD,
+    CODE_REM,
     DEGRADED_MOD,
+    FORMULA_MOD,
+    FORMULA_REM,
     HDR_WORDS,
     HEADER_EVERY,
     KV_EVERY,
@@ -39,12 +43,15 @@ def expected_spans_sql(which: str = "all") -> str:
     if which == "html":
         doc_filter = "WHERE doc_id % 2 = 0"
         limited = "AND FALSE"  # html docs never degrade
+        degraded = "FALSE"
     elif which == "pdf":
         doc_filter = "WHERE doc_id % 2 = 1"
         limited = f"AND doc_id % {DEGRADED_MOD} = 0"
+        degraded = f"doc_id % {DEGRADED_MOD} = 0"
     else:
         doc_filter = ""
         limited = f"AND (doc_id % 2 = 1 AND doc_id % {DEGRADED_MOD} = 0)"
+        degraded = f"(doc_id % 2 = 1 AND doc_id % {DEGRADED_MOD} = 0)"
 
     p = PARA_WORDS
     return f"""
@@ -70,11 +77,24 @@ items AS (
          CAST(NULL AS VARCHAR)
   FROM par WHERE i % {KV_EVERY} = {KV_EVERY - 1} AND len(w) >= i*{p}+2
   UNION ALL
-  SELECT doc_id, i, 3, 'picture', CAST(NULL AS VARCHAR),
+  SELECT doc_id, i, 3,
+         CASE WHEN {degraded} THEN 'text' ELSE 'code' END,
+         'def ' || w[CAST(i*{p}+1 AS INTEGER)] || '(): return ' || w[CAST(i*{p}+2 AS INTEGER)],
+         CAST(NULL AS VARCHAR)
+  FROM par WHERE i % {CODE_MOD} = {CODE_REM} AND len(w) >= i*{p}+2
+  UNION ALL
+  SELECT doc_id, i, 4,
+         CASE WHEN {degraded} THEN 'text' ELSE 'formula' END,
+         w[CAST(i*{p}+1 AS INTEGER)] || ' = ' || w[CAST(i*{p}+2 AS INTEGER)]
+           || ' + ' || w[CAST(i*{p}+3 AS INTEGER)],
+         CAST(NULL AS VARCHAR)
+  FROM par WHERE i % {FORMULA_MOD} = {FORMULA_REM} AND len(w) >= i*{p}+3
+  UNION ALL
+  SELECT doc_id, i, 5, 'picture', CAST(NULL AS VARCHAR),
          'media://' || doc_id || '/img/' || i
   FROM par WHERE (doc_id + i) % {PIC_MOD} = 0 AND NOT (TRUE {limited})
   UNION ALL
-  SELECT doc_id, i, 4, 'table',
+  SELECT doc_id, i, 6, 'table',
          array_to_string(list_slice(w, i*{p}+1, i*{p}+{TBL_CELLS}), ' | '),
          'media://' || doc_id || '/tbl/' || i
   FROM par WHERE (doc_id + i) % {TBL_MOD} = {TBL_REM} AND NOT (TRUE {limited})

@@ -1,0 +1,234 @@
+"""Driver-facing query registry: every implemented operator as a
+(queries(), oracle_sql()) pair — the correctness gate surface.
+
+Each Spark query runs the REAL pipeline (generate raw corpus -> parse ->
+extract -> transform); each oracle reconstructs the expected result
+independently in DuckDB from the deterministic corpus spec. A bug anywhere
+in the chain breaks the value-hash match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .corpus import DEGRADED_MOD, PIC_MOD, TBL_MOD, TBL_REM, docs_raw
+from .operators import dedup, relational, similarity, textstats
+from .operators.chunking import DEFAULT_BUDGET, chunk_spans
+from .operators.exports import with_exports
+from .operators.html_extract import extract_html
+from .operators.pdf_layout import extract_pdf
+from .oracle import expected_spans_sql
+
+
+def _exploded(df):
+    return df.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def extract_all(spark, sf_dir, skew: bool = False):
+    """Full extraction pipeline: one scan, one generation pass, one
+    dispatching kernel (extract_auto) — zero shuffles. The flagship."""
+    from .operators.dispatch import extract_auto
+
+    return extract_auto(docs_raw(spark, sf_dir, which="all", skew=skew))
+
+
+def q_extract_html_spans(spark, sf_dir):
+    return _exploded(extract_html(docs_raw(spark, sf_dir, which="html")))
+
+
+def q_extract_pdf_spans(spark, sf_dir):
+    return _exploded(extract_pdf(docs_raw(spark, sf_dir, which="pdf")))
+
+
+def q_extract_all_spans(spark, sf_dir):
+    return _exploded(extract_all(spark, sf_dir))
+
+
+def q_conversion_methods(spark, sf_dir):
+    """Histogram of conversion tiers — the K10 degraded-tier accounting
+    (and the status-histogram pattern of queue_manager.py:853-858)."""
+    return (
+        extract_all(spark, sf_dir)
+        .groupBy("conversion_method")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+ORACLE_CONVERSION_METHODS = f"""
+    WITH src AS (
+      SELECT doc_id, (len(string_split(text, ' ')) + 9) // 10 AS np
+      FROM documents
+    ),
+    flags AS (
+      SELECT s.doc_id,
+             max(CASE WHEN (s.doc_id + i) % {PIC_MOD} = 0
+                       OR (s.doc_id + i) % {TBL_MOD} = {TBL_REM}
+                      THEN 1 ELSE 0 END) AS has_media
+      FROM src s, unnest(range(256)) AS u(i)
+      WHERE u.i < s.np
+      GROUP BY s.doc_id
+    )
+    SELECT CASE WHEN doc_id % 2 = 1 AND doc_id % {DEGRADED_MOD} = 0 AND has_media = 1
+                THEN 'limited' ELSE 'default' END AS conversion_method,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM flags GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# exports — real pipeline output vs SQL-rendered expected spans
+# ---------------------------------------------------------------------------
+def q_export_markdown(spark, sf_dir):
+    return with_exports(extract_all(spark, sf_dir)).select("doc_id", "markdown")
+
+
+def q_export_html(spark, sf_dir):
+    return with_exports(extract_all(spark, sf_dir)).select("doc_id", "html")
+
+
+def q_export_doctags(spark, sf_dir):
+    return with_exports(extract_all(spark, sf_dir)).select("doc_id", "doctags")
+
+
+def q_export_json(spark, sf_dir):
+    return with_exports(extract_all(spark, sf_dir)).select("doc_id", "doc_json")
+
+
+_MD_RENDER = """
+    CASE kind
+      WHEN 'section_header' THEN '## ' || text
+      WHEN 'text' THEN text
+      WHEN 'key_value_area' THEN '- ' || text
+      WHEN 'code' THEN '```' || chr(10) || text || chr(10) || '```'
+      WHEN 'formula' THEN '$$ ' || text || ' $$'
+      WHEN 'table' THEN '| ' || text || ' |'
+      WHEN 'picture' THEN '![image](' || media_ref || ')'
+    END
+"""
+
+_HTML_RENDER = """
+    CASE kind
+      WHEN 'section_header' THEN '<h2>' || text || '</h2>'
+      WHEN 'text' THEN '<p>' || text || '</p>'
+      WHEN 'key_value_area' THEN '<dl><dt>' || split_part(text, ': ', 1)
+           || '</dt><dd>' || split_part(text, ': ', 2) || '</dd></dl>'
+      WHEN 'code' THEN '<pre><code>' || text || '</code></pre>'
+      WHEN 'formula' THEN '<div class="math">' || text || '</div>'
+      WHEN 'table' THEN '<table data-ref="' || media_ref || '">' || text || '</table>'
+      WHEN 'picture' THEN '<img src="' || media_ref || '"/>'
+    END
+"""
+
+_DOCTAGS_RENDER = """
+    '<' || kind || '>' || coalesce(text, media_ref, '') || '</' || kind || '>'
+"""
+
+_JSON_RENDER = """
+    '{"kind":' || '"' || kind || '"'
+    || ',"text":' || coalesce('"' || text || '"', 'null')
+    || ',"media_ref":' || coalesce('"' || media_ref || '"', 'null')
+    || ',"offset":' || CAST("offset" AS VARCHAR) || '}'
+"""
+
+
+def _export_oracle(render: str, sep: str, prefix: str = "", suffix: str = "", col: str = "markdown") -> str:
+    return f"""
+    WITH exp AS ({expected_spans_sql("all")})
+    SELECT doc_id,
+           '{prefix}' || coalesce(string_agg({render}, {sep} ORDER BY "offset"), '') || '{suffix}' AS {col}
+    FROM exp GROUP BY doc_id
+"""
+
+
+ORACLE_EXPORT_MARKDOWN = _export_oracle(_MD_RENDER, "chr(10)||chr(10)", col="markdown")
+ORACLE_EXPORT_HTML = _export_oracle(_HTML_RENDER, "chr(10)", col="html")
+ORACLE_EXPORT_DOCTAGS = _export_oracle(_DOCTAGS_RENDER, "chr(10)", col="doctags")
+ORACLE_EXPORT_JSON = _export_oracle(_JSON_RENDER, "','", prefix="[", suffix="]", col="doc_json")
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+def q_chunks(spark, sf_dir):
+    return chunk_spans(extract_all(spark, sf_dir))
+
+
+ORACLE_CHUNKS = f"""
+    WITH exp AS ({expected_spans_sql("all")}),
+    tok AS (
+      SELECT doc_id, "offset", text,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE len(string_split(text, ' ')) END AS n_tok
+      FROM exp
+    ),
+    cum AS (
+      SELECT doc_id, "offset", text, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
+               PARTITION BY doc_id ORDER BY "offset"
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {DEFAULT_BUDGET}
+             AS INTEGER) AS chunk_idx
+      FROM tok
+    )
+    SELECT doc_id, chunk_idx,
+           coalesce(string_agg(text, ' ' ORDER BY "offset") FILTER (WHERE text IS NOT NULL), '') AS chunk_text,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_spans
+    FROM cum GROUP BY doc_id, chunk_idx
+"""
+
+
+EXTRACTION_QUERIES = {
+    "extract_html_spans": q_extract_html_spans,
+    "extract_pdf_spans": q_extract_pdf_spans,
+    "extract_all_spans": q_extract_all_spans,
+    "conversion_methods": q_conversion_methods,
+    "export_markdown": q_export_markdown,
+    "export_html": q_export_html,
+    "export_doctags": q_export_doctags,
+    "export_json": q_export_json,
+    "chunks": q_chunks,
+}
+
+EXTRACTION_ORACLES = {
+    "extract_html_spans": expected_spans_sql("html"),
+    "extract_pdf_spans": expected_spans_sql("pdf"),
+    "extract_all_spans": expected_spans_sql("all"),
+    "conversion_methods": ORACLE_CONVERSION_METHODS,
+    "export_markdown": ORACLE_EXPORT_MARKDOWN,
+    "export_html": ORACLE_EXPORT_HTML,
+    "export_doctags": ORACLE_EXPORT_DOCTAGS,
+    "export_json": ORACLE_EXPORT_JSON,
+    "chunks": ORACLE_CHUNKS,
+}
+
+
+def all_queries():
+    from .operators import multimodal
+
+    q = {}
+    q.update(EXTRACTION_QUERIES)
+    q.update(relational.QUERIES)
+    q.update(dedup.QUERIES)
+    q.update(similarity.QUERIES)
+    q.update(textstats.QUERIES)
+    q.update(multimodal.QUERIES)
+    return q
+
+
+def all_oracles():
+    from .operators import multimodal
+
+    o = {}
+    o.update(EXTRACTION_ORACLES)
+    o.update(relational.ORACLES)
+    o.update(dedup.ORACLES)
+    o.update(similarity.ORACLES)
+    o.update(textstats.ORACLES)
+    o.update(multimodal.oracles())
+    return o

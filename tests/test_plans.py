@@ -1,0 +1,66 @@
+"""Physical-plan audits — the 100 TB design claims, checked on the
+actual optimized plans (SURVEY §4 discipline):
+
+- extraction is shuffle-free (no Exchange in the plan),
+- exports/chunking add no Python evaluation (JVM-side only),
+- scans push filters and prune columns,
+- small dims broadcast.
+"""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extraction_plan_is_shuffle_free(spark, sf_dir):
+    from docling_fast_server_spark.corpus import docs_raw
+    from docling_fast_server_spark.operators.dispatch import extract_auto
+
+    plan = _plan(extract_auto(docs_raw(spark, sf_dir)))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_exports_stay_jvm_side(spark, sf_dir):
+    """The export fan-out must not add any Python/Arrow eval beyond the
+    two pipeline kernels (datagen + extraction)."""
+    from docling_fast_server_spark.operators.exports import with_exports
+    from docling_fast_server_spark.queries import extract_all
+
+    base = _plan(extract_all(spark, sf_dir))
+    full = _plan(with_exports(extract_all(spark, sf_dir)))
+    assert full.count("MapInPandas") == base.count("MapInPandas")
+    assert "BatchEvalPython" not in full
+    assert "Exchange" not in full
+
+
+def test_chunking_single_shuffle(spark, sf_dir):
+    """Chunking needs exactly one hash exchange (doc_id) for the window +
+    group; AQE may add shuffle reads but no second hash partitioning of
+    the data by a different key."""
+    from docling_fast_server_spark.operators.chunking import chunk_spans
+    from docling_fast_server_spark.queries import extract_all
+
+    plan = _plan(chunk_spans(extract_all(spark, sf_dir)))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("hashpartitioning(doc_id") >= 1
+
+
+def test_scan_pushdown(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_shipdate") <= "1996-01-01")
+        .select("l_orderkey", "l_quantity")
+    )
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double" in plan
+
+
+def test_region_revenue_broadcasts_dims(spark, sf_dir):
+    from docling_fast_server_spark.operators.relational import q_region_revenue
+
+    plan = _plan(q_region_revenue(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
