@@ -171,7 +171,68 @@ def q_tracked_intersection(spark, sf_dir):
     )
 
 
+# --- J1: dedup by client job_id — duplicate submission suppression
+# (ocr.py:96-103 -> 409 echo; tested scripts/test_api_shape.py:69-81).
+# Simulated duplicate submission: the corpus unioned with itself ---------
+def q_dedup_submit_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    resubmitted = docs.unionByName(docs)
+    return (
+        resubmitted.dropDuplicates(["doc_id"])
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+# --- P1/P2: input validation predicates (ocr.py:21-22 extension check,
+# 35-37 method whitelist) — raw-corpus format/kind histogram, the
+# "what did we ingest" validation scan --------------------------------------
+def q_kind_validation(spark, sf_dir):
+    from ..corpus import docs_raw
+
+    raw = docs_raw(spark, sf_dir, which="all")
+    return (
+        raw.select(F.explode("spans").alias("s"))
+        .groupBy(F.col("s.kind").alias("raw_kind"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_spans"))
+    )
+
+
 ORACLES = {
+    "dedup_submit_id": """
+        SELECT CAST(count(*) AS BIGINT) AS n_unique,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM (SELECT DISTINCT doc_id, n_chars FROM
+              (SELECT doc_id, n_chars FROM documents
+               UNION ALL SELECT doc_id, n_chars FROM documents))
+    """,
+    "kind_validation": """
+        WITH src AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        par AS (
+          SELECT doc_id, w, CAST(g.i AS BIGINT) AS i
+          FROM src, (SELECT unnest(range(256)) AS i) g
+          WHERE g.i * 10 < len(w)
+        )
+        SELECT 'html' AS raw_kind, CAST(count(*) AS BIGINT) AS n_spans
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'pdf_cell', CAST(
+            sum(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END) + count(*)
+          + sum(CASE WHEN i % 5 = 4 AND len(w) >= i*10+2 THEN 1 ELSE 0 END)
+          + sum(CASE WHEN i % 13 = 7 AND len(w) >= i*10+2 THEN 1 ELSE 0 END)
+          + sum(CASE WHEN i % 9 = 5 AND len(w) >= i*10+3 THEN 1 ELSE 0 END)
+          AS BIGINT)
+        FROM par WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT 'pdf_image', CAST(sum(CASE WHEN (doc_id+i) % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM par WHERE doc_id % 2 = 1
+        UNION ALL
+        SELECT 'pdf_table', CAST(sum(CASE WHEN (doc_id+i) % 11 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM par WHERE doc_id % 2 = 1
+    """,
     "status_histogram": """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY event_type
@@ -245,6 +306,8 @@ ORACLES = {
 }
 
 QUERIES = {
+    "dedup_submit_id": q_dedup_submit_id,
+    "kind_validation": q_kind_validation,
     "status_histogram": q_status_histogram,
     "retention_keep": q_retention_keep,
     "recent_topk": q_recent_topk,

@@ -63,3 +63,60 @@ def overwrite_table(df: DataFrame, path: str) -> None:
         df.writeTo(path).createOrReplace()
     else:
         df.write.mode("overwrite").parquet(path)
+
+
+def retention_delete(spark: SparkSession, path: str, predicate: str) -> int:
+    """Row-level retention delete: drop rows matching `predicate` (SQL
+    string), keep the rest — the 24h TTL / JOB_RETENTION_HOURS cleanup of
+    the reference (redis_job_store.py:70 TTL; queue_manager.py:804-819;
+    job_db.py:241-260 `DELETE FROM jobs WHERE created_at < ?`).
+
+    Iceberg: `DELETE FROM t WHERE ...` (position deletes + snapshot).
+    Parquet fallback: rewrite keep-side to a staging dir, atomic swap.
+    Returns number of rows deleted."""
+    import shutil
+    import tempfile
+
+    df = read_table(spark, path)
+    if _has_iceberg(spark) and not path.startswith("/"):
+        n = df.filter(predicate).count()
+        spark.sql(f"DELETE FROM {path} WHERE {predicate}")
+        return n
+    total = df.count()
+    keep = df.filter(f"NOT ({predicate})")
+    staging = tempfile.mkdtemp(prefix="dfss_retention_")
+    keep.write.mode("overwrite").parquet(staging)
+    kept = spark.read.parquet(staging).count()
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    spark.catalog.refreshByPath(path)
+    return total - kept
+
+
+def compact_table(spark: SparkSession, path: str, target_files: int) -> int:
+    """Small-file compaction — the gzip archive rotation / rewrite analog
+    (queue_manager.py:443-469 rotates jobs_*.json.gz; Iceberg:
+    rewrite_data_files). Rewrites the table into `target_files` files.
+    Returns the new file count."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    df = read_table(spark, path)
+    staging = tempfile.mkdtemp(prefix="dfss_compact_")
+    df.coalesce(target_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+    spark.catalog.refreshByPath(path)
+    return sum(1 for f in _os.listdir(path) if f.endswith(".parquet"))
+
+
+def table_stats(path: str) -> dict:
+    """Storage stats — file count + total bytes (the get_storage_stats
+    analog, queue_manager.py:740-790; Iceberg exposes this via the
+    `.files` metadata table)."""
+    import os as _os
+
+    files = [f for f in _os.listdir(path) if f.endswith(".parquet")]
+    total = sum(_os.path.getsize(_os.path.join(path, f)) for f in files)
+    return {"n_files": len(files), "total_bytes": total}

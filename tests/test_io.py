@@ -1,0 +1,52 @@
+"""IO operators: retention delete, compaction, storage stats."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from docling_fast_server_spark.sources.io import (
+    compact_table,
+    read_table,
+    retention_delete,
+    table_stats,
+)
+
+
+@pytest.fixture()
+def tdir():
+    d = tempfile.mkdtemp(prefix="dfss_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_retention_delete(spark, sf_dir, tdir):
+    path = os.path.join(tdir, "events")
+    spark.read.parquet(f"{sf_dir}/events.parquet").write.parquet(path)
+    before = read_table(spark, path).count()
+    cutoff = "ts < TIMESTAMP '2024-01-04 00:00:00'"
+    expected_del = read_table(spark, path).filter(cutoff).count()
+    deleted = retention_delete(spark, path, cutoff)
+    assert deleted == expected_del > 0
+    after = read_table(spark, path)
+    assert after.count() == before - deleted
+    assert after.filter(cutoff).count() == 0
+
+
+def test_compact_and_stats(spark, sf_dir, tdir):
+    path = os.path.join(tdir, "docs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(16).write.parquet(path)
+    s0 = table_stats(path)
+    assert s0["n_files"] == 16
+    rows_before = read_table(spark, path).count()
+    n = compact_table(spark, path, 2)
+    assert n <= 2
+    s1 = table_stats(path)
+    assert s1["n_files"] == n
+    assert read_table(spark, path).count() == rows_before
+    # compaction must preserve content, not just counts
+    chk = read_table(spark, path).agg(F.sum("n_chars")).collect()[0][0]
+    orig = spark.read.parquet(f"{sf_dir}/documents.parquet").agg(F.sum("n_chars")).collect()[0][0]
+    assert chk == orig
