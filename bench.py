@@ -31,7 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
-REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "16"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 SCRATCH = os.environ.get("SPARK_GRAFT_BENCH_SCRATCH", "/tmp/dfss_bench")
 

@@ -144,10 +144,12 @@ def _is_boilerplate(node: _Node, text: str, is_heading: bool) -> bool:
     return False
 
 
-def _classify(node: _Node, doc_num: int) -> tuple[str, str | None, str | None] | None:
+def _classify(
+    node: _Node, doc_num: int, text: str
+) -> tuple[str, str | None, str | None] | None:
     tag = node.tag
     if tag in _HEADING_TAGS:
-        return (K_SECTION_HEADER, _text_of(node), None)
+        return (K_SECTION_HEADER, text, None)
     if tag == "dl":
         dts = [c for c in node.children if isinstance(c, _Node) and c.tag == "dt"]
         dds = [c for c in node.children if isinstance(c, _Node) and c.tag == "dd"]
@@ -176,20 +178,80 @@ def _classify(node: _Node, doc_num: int) -> tuple[str, str | None, str | None] |
         return (K_PICTURE, None, src)
     if tag == "pre":
         # K8 code enrichment: monospace block -> code
-        return (K_CODE, _text_of(node), None)
+        return (K_CODE, text, None)
     if tag == "div" and "math" in node.attrs.get("class", ""):
         # K8 formula enrichment: math container -> formula
-        return (K_FORMULA, _text_of(node), None)
+        return (K_FORMULA, text, None)
     # p / div / blockquote / ul / ol -> plain text block
-    t = _text_of(node)
-    return (K_TEXT, t, None) if t else None
+    return (K_TEXT, text, None) if text else None
+
+
+# ---------------------------------------------------------------------------
+# fast tokenizer: a compiled-regex scanner building the same _Node tree.
+# html.parser is ~3/4 of kernel time (pure-Python char-by-char scan); this
+# tokenizer handles the block-level HTML subset the kernel consumes and
+# falls back to html.parser on anything it can't scan cleanly.
+# ---------------------------------------------------------------------------
+_TAG_RE = re.compile(
+    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>|<!--.*?-->|<![^>]*>",
+    re.DOTALL,
+)
+_ATTR_RE = re.compile(r"([a-zA-Z_][\w-]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)')")
+_VOID_TAGS = _TreeBuilder._VOID
+
+
+def _fast_parse(html: str) -> _Node:
+    from html import unescape
+
+    root = _Node("#root", {}, None)
+    cur = root
+    pos = 0
+    for m in _TAG_RE.finditer(html):
+        if m.start() > pos:
+            text = html[pos : m.start()]
+            if text:
+                cur.children.append(unescape(text) if "&" in text else text)
+        pos = m.end()
+        if m.group(2) is None:
+            continue  # comment / doctype
+        closing, tag, rawattrs, selfclose = (
+            m.group(1), m.group(2).lower(), m.group(3), m.group(4))
+        if closing:
+            node = cur
+            while node is not None and node.tag != tag:
+                node = node.parent
+            if node is not None and node.parent is not None:
+                cur = node.parent
+        else:
+            attrs = (
+                {k: (v1 if v1 is not None else v2) for k, v1, v2 in _ATTR_RE.findall(rawattrs)}
+                if "=" in rawattrs
+                else {}
+            )
+            node = _Node(tag, attrs, cur)
+            cur.children.append(node)
+            if tag not in _VOID_TAGS and not selfclose:
+                cur = node
+    if pos < len(html):
+        tail = html[pos:]
+        if tail:
+            cur.children.append(unescape(tail) if "&" in tail else tail)
+    return root
+
+
+def _parse_html(html: str) -> _Node:
+    try:
+        return _fast_parse(html)
+    except Exception:
+        tb = _TreeBuilder()
+        tb.feed(html)
+        return tb.root
 
 
 def extract_html_document(doc_id: str, html: str) -> list[dict]:
     """html -> ordered extracted spans (pure function; unit-testable)."""
     doc_num = int(doc_id.rsplit("-", 1)[1]) if "-" in doc_id else 0
-    tb = _TreeBuilder()
-    tb.feed(html)
+    root = _parse_html(html)
     spans: list[dict] = []
 
     def walk(node: _Node):
@@ -200,7 +262,7 @@ def extract_html_document(doc_id: str, html: str) -> list[dict]:
                 text = _text_of(c)
                 is_heading = c.tag in _HEADING_TAGS
                 if c.tag == "figure" or not _is_boilerplate(c, text or "x", is_heading):
-                    item = _classify(c, doc_num)
+                    item = _classify(c, doc_num, text)
                     if item is not None:
                         spans.append(
                             {
@@ -214,7 +276,7 @@ def extract_html_document(doc_id: str, html: str) -> list[dict]:
                 continue
             walk(c)
 
-    walk(tb.root)
+    walk(root)
     return spans
 
 

@@ -1,0 +1,136 @@
+"""Property-based tests (hypothesis) — invariants the golden fixtures
+can't cover: arbitrary inputs, permutation invariance, monotonic offsets.
+
+The reference has no property tests (SURVEY §5 'notably absent'); these
+harden the from-scratch kernels beyond the deterministic corpus.
+"""
+
+import json
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from docling_fast_server_spark.corpus import (
+    expected_spans,
+    logical_items,
+    render_html,
+    render_pdf_cells,
+)
+from docling_fast_server_spark.model import doc_id_str
+from docling_fast_server_spark.operators.html_extract import extract_html_document
+from docling_fast_server_spark.operators.pdf_layout import extract_pdf_document
+
+_words = st.lists(
+    st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8),
+    min_size=1,
+    max_size=300,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(doc_id=st.integers(min_value=0, max_value=10_000), words=_words)
+def test_roundtrip_any_text(doc_id, words):
+    """For ANY word soup: render -> extract == expected, both raw paths."""
+    text = " ".join(words)
+    want = [
+        (s["kind"], s["text"], s["media_ref"], s["offset"])
+        for s in expected_spans(doc_id, text)
+    ]
+    if doc_id % 2 == 0:
+        got = extract_html_document(doc_id_str(doc_id), render_html(doc_id, text))
+    else:
+        got, _ = extract_pdf_document(render_pdf_cells(doc_id, text))
+    assert [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in got] == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    doc_id=st.integers(min_value=1, max_value=9_999).filter(lambda d: d % 2 == 1),
+    words=_words,
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_pdf_reading_order_permutation_invariant(doc_id, words, seed):
+    """Reading order must be recovered from geometry regardless of the
+    storage permutation of the cells (K3 invariant)."""
+    text = " ".join(words)
+    cells = render_pdf_cells(doc_id, text)
+    rng = random.Random(seed)
+    shuffled = cells[:]
+    rng.shuffle(shuffled)
+    a, _ = extract_pdf_document(cells)
+    b, _ = extract_pdf_document(shuffled)
+    assert a == b
+
+
+@settings(max_examples=40, deadline=None)
+@given(doc_id=st.integers(min_value=0, max_value=10_000), words=_words)
+def test_offsets_contiguous_and_kinds_valid(doc_id, words):
+    from docling_fast_server_spark.model import EXTRACTED_KINDS
+
+    spans = expected_spans(doc_id, " ".join(words))
+    assert [s["offset"] for s in spans] == list(range(len(spans)))
+    assert all(s["kind"] in EXTRACTED_KINDS for s in spans)
+    # every span is either text-bearing or a media reference
+    assert all(s["text"] is not None or s["media_ref"] is not None for s in spans)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    doc_id=st.integers(min_value=1, max_value=9_999).filter(lambda d: d % 2 == 1),
+    words=_words,
+)
+def test_pdf_corrupt_cell_degrades_not_dies(doc_id, words):
+    """ANY single corrupted cell -> limited tier or clean subset, never an
+    exception (K10: degrade, never die)."""
+    cells = render_pdf_cells(doc_id, " ".join(words))
+    for i in range(min(len(cells), 3)):
+        broken = [dict(c) for c in cells]
+        broken[i]["text"] = "NOT JSON" + (broken[i]["text"] or "")
+        try:
+            spans, method = extract_pdf_document(broken)
+            assert method in ("default", "limited")
+        except ValueError:
+            # acceptable only if the corrupted cell is a TEXT cell (the
+            # limited tier only drops media); the task-level wrapper maps
+            # this to a failed row, never a crash
+            assert broken[i]["kind"] == "pdf_cell"
+
+
+def test_chunker_partition_property(spark, sf_dir):
+    """Chunks partition the spans: token counts and span counts add up,
+    and no chunk exceeds budget unless a single span does."""
+    from pyspark.sql import functions as F
+
+    from docling_fast_server_spark.operators.chunking import DEFAULT_BUDGET, chunk_spans
+    from docling_fast_server_spark.queries import extract_all
+
+    extracted = extract_all(spark, sf_dir).limit(100).cache()
+    chunks = chunk_spans(extracted)
+    tot = chunks.groupBy("doc_id").agg(
+        F.sum("n_spans").alias("spans"), F.sum("n_tokens").alias("toks")
+    )
+    direct = extracted.select(
+        "doc_id",
+        F.size("spans").alias("spans_d"),
+        F.aggregate(
+            F.transform(
+                "spans",
+                lambda s: F.when(s["text"].isNull(), F.lit(0)).otherwise(
+                    F.size(F.split(s["text"], " "))
+                ),
+            ),
+            F.lit(0),
+            lambda a, x: a + x,
+        ).alias("toks_d"),
+    )
+    j = tot.join(direct, "doc_id")
+    bad = j.filter(
+        (F.col("spans") != F.col("spans_d")) | (F.col("toks") != F.col("toks_d"))
+    ).count()
+    assert bad == 0
+    # budget property: chunk starts before the budget line; a chunk longer
+    # than budget+max_single_span_tokens would indicate a grouping bug
+    over = chunks.filter(F.col("n_tokens") > DEFAULT_BUDGET + 60).count()
+    assert over == 0
+    extracted.unpersist()
