@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame, functions as F
 
 P_HASH = 1_000_003
 MINHASH_K = 8
-BANDS = 4  # 2 rows per band
+BAND_ROWS = 4  # 2 bands x 4 rows: collision prob per band = s^4, which
+# keeps candidate sets small even on overlap-heavy corpora (tiny shared
+# vocab inflates per-hash match probability; 2-row bands produced ~56k
+# false candidates on 5.7k docs at sf0.1)
 HASH_A = [7, 11, 13, 17, 19, 23, 29, 31]
 HASH_B = [3, 5, 101, 2003, 407, 99, 12, 77]
 SHINGLE = 3
@@ -213,7 +216,7 @@ def q_dedup_minhash(spark, sf_dir):
         .agg(F.min((F.col("a") * F.col("r") + F.col("b")) % P_HASH).alias("h"))
     )
     bands = (
-        sig.withColumn("band", (F.col("j") / 2).cast("int"))
+        sig.withColumn("band", (F.col("j") / BAND_ROWS).cast("int"))
         .groupBy("doc_id", "band")
         .agg(F.concat_ws("-", F.array_sort(F.collect_list(F.concat_ws(":", "j", "h")))).alias("key"))
     )
@@ -225,11 +228,13 @@ def q_dedup_minhash(spark, sf_dir):
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # shared-shingle count: join candidate pairs to both shingle sets on
-    # (doc, sh) so the intermediate is |A∩B| rows per pair, never |A|×|B|
+    # shared-shingle count: join candidate pairs to both shingle sets so
+    # the intermediate is |A∩B| rows per pair, never |A|×|B|; join on the
+    # int64 dictionary rank, not the shingle string (cheaper hash/shuffle)
+    rk = ranked.select("doc_id", "r")
     shared = (
-        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        cand.join(rk.select(F.col("doc_id").alias("doc_a"), "r"), "doc_a")
+        .join(rk.select(F.col("doc_id").alias("doc_b"), "r"), ["doc_b", "r"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
@@ -256,9 +261,9 @@ ORACLE_DEDUP_MINHASH = f"""
         GROUP BY doc_id, hp.j
     ),
     bands AS (
-        SELECT doc_id, j // 2 AS band,
+        SELECT doc_id, j // {BAND_ROWS} AS band,
                array_to_string(list_sort(list(CAST(j AS VARCHAR) || ':' || CAST(h AS VARCHAR))), '-') AS key
-        FROM sig GROUP BY doc_id, j // 2
+        FROM sig GROUP BY doc_id, j // {BAND_ROWS}
     ),
     cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
