@@ -171,6 +171,62 @@ def q_tracked_intersection(spark, sf_dir):
     )
 
 
+# --- semi-join: users with at least one error event (EXISTS shape;
+# the find-jobs-in-state lookup generalized) -------------------------------
+def q_users_with_errors(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id")
+    return (
+        ev.join(err, "user_id", "left_semi")
+        .groupBy()
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+    )
+
+
+# --- anti-join: orders with no lineitems (orphan detection — the
+# cleanup_foreign_jobs shape, queue_manager.py:125-161) ---------------------
+def q_orders_without_items(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("o_orderkey"))
+    return (
+        o.join(li, "o_orderkey", "left_anti")
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orphans"))
+    )
+
+
+# --- HAVING: customers with heavy order volume ------------------------------
+def q_heavy_customers(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 1).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 20)
+        .orderBy(F.col("n_orders").desc(), F.col("o_custkey").asc())
+        .limit(20)
+    )
+
+
+# --- window function: per-user running event count (T2 generalized;
+# the engine's window machinery beyond chunking) ----------------------------
+def q_user_event_sequence(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("seq", F.row_number().over(w).cast("int"))
+        .filter(F.col("seq") <= 3)
+        .select("user_id", "seq", "event_id", "event_type")
+    )
+
+
 # --- J1: dedup by client job_id — duplicate submission suppression
 # (ocr.py:96-103 -> 409 echo; tested scripts/test_api_shape.py:69-81).
 # Simulated duplicate submission: the corpus unioned with itself ---------
@@ -202,6 +258,29 @@ def q_kind_validation(spark, sf_dir):
 
 
 ORACLES = {
+    "users_with_errors": """
+        SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events WHERE user_id IN (
+            SELECT user_id FROM events WHERE event_type = 'error')
+    """,
+    "orders_without_items": """
+        SELECT CAST(count(*) AS BIGINT) AS n_orphans
+        FROM orders WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
+    """,
+    "heavy_customers": """
+        SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 1) AS spend
+        FROM orders GROUP BY o_custkey HAVING count(*) >= 20
+        ORDER BY n_orders DESC, o_custkey ASC LIMIT 20
+    """,
+    "user_event_sequence": """
+        SELECT user_id, seq, event_id, event_type FROM (
+            SELECT user_id, event_id, event_type,
+                   CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INTEGER) AS seq
+            FROM events)
+        WHERE seq <= 3
+    """,
     "dedup_submit_id": """
         SELECT CAST(count(*) AS BIGINT) AS n_unique,
                CAST(sum(n_chars) AS BIGINT) AS sum_chars
@@ -306,6 +385,10 @@ ORACLES = {
 }
 
 QUERIES = {
+    "users_with_errors": q_users_with_errors,
+    "orders_without_items": q_orders_without_items,
+    "heavy_customers": q_heavy_customers,
+    "user_event_sequence": q_user_event_sequence,
     "dedup_submit_id": q_dedup_submit_id,
     "kind_validation": q_kind_validation,
     "status_histogram": q_status_histogram,
