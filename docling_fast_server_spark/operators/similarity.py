@@ -10,8 +10,12 @@ whole-stage codegen) and exactly reproducible in DuckDB, including the
 deterministic pseudo-random hyperplanes: h_p[d] = ((1 + (p*64+d) *
 2654435761) % 97) - 48 — integer arithmetic, identical in both engines.
 
-Ranking is done on round(cos, 6) with vec_id tiebreak so float summation
-order can never flip a rank across engines.
+Ranking is done on round(cos, 3) with vec_id tiebreak: coarse rounding
+makes score ties abundant and the id tiebreak resolves them, so 1-ulp
+float-summation differences between engines can essentially never flip a
+rank. The emitted score IS cos3 — never re-round an already-rounded value
+across engines: exact .xx5 decimals round differently under Spark's
+shortest-string BigDecimal HALF_UP vs DuckDB's scaled-double rounding.
 """
 
 from __future__ import annotations
@@ -57,14 +61,14 @@ def q_sim_topk_brute(spark, sf_dir):
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cos6"),
+            F.round(_cos(F.col("qv"), F.col("v")), 3).alias("cos3"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("q_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOPK)
-        .select("q_id", "neighbor_id", "rank", F.round("cos6", 4).alias("cos_sim"))
+        .select("q_id", "neighbor_id", "rank", F.col("cos3").alias("cos_sim"))
     )
 
 
@@ -77,15 +81,15 @@ ORACLE_SIM_TOPK_BRUTE = f"""
     scored AS (
         SELECT q.q_id, x.vec_id AS neighbor_id,
                round(list_dot_product(q.qv, x.v) /
-                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.v, x.v))), 6) AS cos6
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.v, x.v))), 3) AS cos3
         FROM vecs x, queries q WHERE x.vec_id != q.q_id
     ),
     ranked AS (
-        SELECT q_id, neighbor_id, cos6,
-               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, neighbor_id ASC) AS INTEGER) AS rank
+        SELECT q_id, neighbor_id, cos3,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos3 DESC, neighbor_id ASC) AS INTEGER) AS rank
         FROM scored
     )
-    SELECT q_id, neighbor_id, rank, round(cos6, 4) AS cos_sim
+    SELECT q_id, neighbor_id, rank, cos3 AS cos_sim
     FROM ranked WHERE rank <= {TOPK}
 """
 
@@ -127,14 +131,14 @@ def q_sim_ann_lsh(spark, sf_dir):
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cos(F.col("qv"), F.col("v")), 6).alias("cos6"),
+            F.round(_cos(F.col("qv"), F.col("v")), 3).alias("cos3"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos6").desc(), F.col("neighbor_id").asc())
+    w = Window.partitionBy("q_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= ANN_TOPK)
-        .select("q_id", "neighbor_id", "rank", F.round("cos6", 4).alias("cos_sim"))
+        .select("q_id", "neighbor_id", "rank", F.col("cos3").alias("cos_sim"))
     )
 
 
@@ -157,15 +161,15 @@ ORACLE_SIM_ANN_LSH = f"""
     scored AS (
         SELECT q.q_id, x.vec_id AS neighbor_id,
                round(list_dot_product(q.qv, x.v) /
-                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.v, x.v))), 6) AS cos6
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.v, x.v))), 3) AS cos3
         FROM buckets x JOIN queries q ON x.bucket = q.bucket AND x.vec_id != q.q_id
     ),
     ranked AS (
-        SELECT q_id, neighbor_id, cos6,
-               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, neighbor_id ASC) AS INTEGER) AS rank
+        SELECT q_id, neighbor_id, cos3,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos3 DESC, neighbor_id ASC) AS INTEGER) AS rank
         FROM scored
     )
-    SELECT q_id, neighbor_id, rank, round(cos6, 4) AS cos_sim
+    SELECT q_id, neighbor_id, rank, cos3 AS cos_sim
     FROM ranked WHERE rank <= {ANN_TOPK}
 """
 
