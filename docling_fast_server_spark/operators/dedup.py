@@ -14,8 +14,8 @@ exactly reproducible by the DuckDB oracle:
             Pure joins/aggregations: at 100 TB the dictionary becomes a
             broadcast/bucketed dimension and banding is one shuffle on
             (band, key) — no all-pairs stage ever materializes.
-- simhash:  sign-sum over the same universal hashes -> 16-bit fingerprint,
-            byte-banded blocking for hamming<=3 pairs.
+- simhash:  idf-weighted sign-sum over mixed universal hashes -> 32-bit
+            fingerprint, byte-banded blocking for hamming<=3 pairs.
 - ngram-jaccard: exact Jaccard on LSH candidates (the verify stage alone).
 - embedding near-dup: cosine over the embeddings table, label-blocked.
 
@@ -30,6 +30,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 P_HASH = 1_000_003
+MIX = 2_654_435_761  # multiply before mod: (a*r+b) alone never exceeds
+# P for dictionary-sized ranks, so min() would always pick the lowest
+# rank (degenerate minhash) and parity would collapse to parity(r)
+# (degenerate simhash); the product wraps P thoroughly. All int64-safe.
 MINHASH_K = 8
 BAND_ROWS = 4  # 2 bands x 4 rows: collision prob per band = s^4, which
 # keeps candidate sets small even on overlap-heavy corpora (tiny shared
@@ -39,7 +43,7 @@ HASH_A = [7, 11, 13, 17, 19, 23, 29, 31]
 HASH_B = [3, 5, 101, 2003, 407, 99, 12, 77]
 SHINGLE = 3
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32
 HAMMING_MAX = 3
 COSINE_THRESHOLD = 0.999
 NEAR_STEP = 100_000  # mutated near-dup copies
@@ -213,7 +217,7 @@ def q_dedup_minhash(spark, sf_dir):
     sig = (
         ranked.crossJoin(hp)
         .groupBy("doc_id", "j")
-        .agg(F.min((F.col("a") * F.col("r") + F.col("b")) % P_HASH).alias("h"))
+        .agg(F.min((F.col("a") * F.col("r") + F.col("b")) * MIX % P_HASH).alias("h"))
     )
     bands = (
         sig.withColumn("band", (F.col("j") / BAND_ROWS).cast("int"))
@@ -256,7 +260,7 @@ ORACLE_DEDUP_MINHASH = f"""
     shingles AS ({SHINGLES_SQL})
     {RANKED_SQL},
     sig AS (
-        SELECT doc_id, hp.j, min((hp.a * r + hp.b) % {P_HASH}) AS h
+        SELECT doc_id, hp.j, min((hp.a * r + hp.b) * {MIX} % {P_HASH}) AS h
         FROM ranked, {HASH_PARAMS_SQL}
         GROUP BY doc_id, hp.j
     ),
@@ -290,53 +294,86 @@ ORACLE_DEDUP_MINHASH = f"""
 # ---------------------------------------------------------------------------
 # SimHash fingerprints (+ blocked hamming pairs)
 # ---------------------------------------------------------------------------
+SIMHASH_STREAMS = 4  # 4 bit-streams per hash param -> 32-bit fingerprint
+# (16 bits over an overlap-heavy corpus collides massively: 81k hamming<=3
+# pairs on 550 docs; 32 bits restores discrimination)
+
+
 def q_dedup_simhash(spark, sf_dir):
-    """16-bit simhash per document: bit_j set iff more shingle hashes are
-    odd than even under hash_j. Output: (doc_id, simhash)."""
+    """32-bit weighted simhash per document: bit (j, k) set iff the
+    specificity-weighted sign-sum of shingle-hash parities is positive
+    under variant k of hash_j. Weight = 1000 div document-frequency
+    (integer idf): common shingles cancel out, document-specific shingles
+    dominate — without weighting, a small shared vocabulary concentrates
+    every signature into a few hamming-adjacent values (70k+ false
+    hamming<=3 pairs on 550 docs). Integer weights keep the sums
+    order-independent and bit-exact across engines.
+    Output: (doc_id, simhash)."""
     corpus = mutated_corpus(spark, sf_dir)
-    ranked = _ranked_shingles(_shingles(corpus))
+    sh = _shingles(corpus)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        _ranked_shingles(sh)
+        .join(F.broadcast(dfreq), "sh")
+        .withColumn("wt", F.expr("1000 div df"))
+    )
     hp = F.broadcast(_hash_params(spark))
-    # reuse the 8 params twice with a shift for 16 bits
-    bits = (
-        ranked.crossJoin(hp)
-        .select(
-            "doc_id",
-            "j",
-            (((F.col("a") * F.col("r") + F.col("b")) % P_HASH) % 2).alias("bit0"),
-            ((((F.col("a") + 1) * F.col("r") + F.col("b") * 7) % P_HASH) % 2).alias("bit1"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(
-            F.sum(F.col("bit0") * 2 - 1).alias("s0"),
-            F.sum(F.col("bit1") * 2 - 1).alias("s1"),
-        )
-        .select(
-            "doc_id",
-            (
-                F.when(F.col("s0") > 0, F.expr("shiftleft(1, j)")).otherwise(0)
-                + F.when(F.col("s1") > 0, F.expr(f"shiftleft(1, j + {MINHASH_K})")).otherwise(0)
-            ).alias("part"),
-        )
+    base = ranked.crossJoin(hp)
+    sums = base.groupBy("doc_id", "j").agg(
+        *[
+            F.sum(
+                (
+                    ((((F.col("a") + 2 * k) * F.col("r") + F.col("b") * (2 * k + 1)) * MIX % P_HASH) % 2)
+                    * 2
+                    - 1
+                )
+                * F.col("wt")
+            ).alias(f"s{k}")
+            for k in range(SIMHASH_STREAMS)
+        ]
+    )
+    part = None
+    for k in range(SIMHASH_STREAMS):
+        term = F.when(
+            F.col(f"s{k}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), j + {k * MINHASH_K})")
+        ).otherwise(0)
+        part = term if part is None else part + term
+    return (
+        sums.select("doc_id", part.alias("part"))
         .groupBy("doc_id")
         .agg(F.sum("part").cast("long").alias("simhash"))
     )
-    return bits
 
+
+_SIMHASH_BITS_SQL = ",\n               ".join(
+    f"sum(((((hp.a + {2 * k}) * r + hp.b * {2 * k + 1}) * {MIX} % {P_HASH}) % 2 * 2 - 1) * wt) AS s{k}"
+    for k in range(SIMHASH_STREAMS)
+)
+# dfreq/weight CTE appended after RANKED_SQL by the simhash oracles
+_WEIGHTED_SQL = """
+    , dfreq AS (SELECT sh, count(*) AS df FROM shingles GROUP BY sh),
+    weighted AS (
+        SELECT ranked.doc_id, ranked.r, 1000 // dfreq.df AS wt
+        FROM ranked JOIN dfreq USING (sh)
+    )
+"""
+_SIMHASH_SUM_SQL = "\n              + ".join(
+    f"CASE WHEN s{k} > 0 THEN CAST(1 AS BIGINT) << (j + {k * MINHASH_K}) ELSE 0 END"
+    for k in range(SIMHASH_STREAMS)
+)
 
 ORACLE_DEDUP_SIMHASH = f"""
     WITH corpus AS ({MUTATED_SQL}),
     shingles AS ({SHINGLES_SQL})
-    {RANKED_SQL},
+    {RANKED_SQL}{_WEIGHTED_SQL},
     bits AS (
         SELECT doc_id, hp.j,
-               sum(((hp.a * r + hp.b) % {P_HASH}) % 2 * 2 - 1) AS s0,
-               sum((((hp.a + 1) * r + hp.b * 7) % {P_HASH}) % 2 * 2 - 1) AS s1
-        FROM ranked, {HASH_PARAMS_SQL}
+               {_SIMHASH_BITS_SQL}
+        FROM weighted, {HASH_PARAMS_SQL}
         GROUP BY doc_id, hp.j
     )
     SELECT doc_id,
-           CAST(sum(CASE WHEN s0 > 0 THEN 1 << j ELSE 0 END
-              + CASE WHEN s1 > 0 THEN 1 << (j + {MINHASH_K}) ELSE 0 END) AS BIGINT) AS simhash
+           CAST(sum({_SIMHASH_SUM_SQL}) AS BIGINT) AS simhash
     FROM bits GROUP BY doc_id
 """
 
@@ -354,11 +391,11 @@ def q_dedup_simhash_pairs(spark, sf_dir):
                 *[
                     F.struct(
                         F.lit(k).alias("band"),
-                        F.shiftright(F.col("simhash"), 4 * k)
-                        .bitwiseAND(F.lit(15))
+                        F.shiftright(F.col("simhash"), 8 * k)
+                        .bitwiseAND(F.lit(255))
                         .alias("key"),
                     )
-                    for k in range(4)
+                    for k in range(4)  # 4 bands x 8 bits of the 32-bit sig
                 ]
             )
         ).alias("bk"),
@@ -384,28 +421,26 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 ORACLE_DEDUP_SIMHASH_PAIRS = f"""
     WITH corpus AS ({MUTATED_SQL}),
     shingles AS ({SHINGLES_SQL})
-    {RANKED_SQL},
+    {RANKED_SQL}{_WEIGHTED_SQL},
     bits AS (
         SELECT doc_id, hp.j,
-               sum(((hp.a * r + hp.b) % {P_HASH}) % 2 * 2 - 1) AS s0,
-               sum((((hp.a + 1) * r + hp.b * 7) % {P_HASH}) % 2 * 2 - 1) AS s1
-        FROM ranked, {HASH_PARAMS_SQL}
+               {_SIMHASH_BITS_SQL}
+        FROM weighted, {HASH_PARAMS_SQL}
         GROUP BY doc_id, hp.j
     ),
     sig AS (
         SELECT doc_id,
-               CAST(sum(CASE WHEN s0 > 0 THEN 1 << j ELSE 0 END
-                  + CASE WHEN s1 > 0 THEN 1 << (j + {MINHASH_K}) ELSE 0 END) AS BIGINT) AS simhash
+               CAST(sum({_SIMHASH_SUM_SQL}) AS BIGINT) AS simhash
         FROM bits GROUP BY doc_id
     )
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
            CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
     FROM sig x JOIN sig y ON x.doc_id < y.doc_id
     WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
-      AND (x.simhash % 16 = y.simhash % 16
-           OR (x.simhash // 16) % 16 = (y.simhash // 16) % 16
-           OR (x.simhash // 256) % 16 = (y.simhash // 256) % 16
-           OR (x.simhash // 4096) % 16 = (y.simhash // 4096) % 16)
+      AND (x.simhash % 256 = y.simhash % 256
+           OR (x.simhash // 256) % 256 = (y.simhash // 256) % 256
+           OR (x.simhash // 65536) % 256 = (y.simhash // 65536) % 256
+           OR (x.simhash // 16777216) % 256 = (y.simhash // 16777216) % 256)
 """
 
 
