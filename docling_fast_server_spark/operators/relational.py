@@ -227,6 +227,40 @@ def q_user_event_sequence(spark, sf_dir):
     )
 
 
+# --- sessionization: gap-based event sessions (the batch form of a
+# session window — SURVEY §2.9 maps stream semantics to batch) -------------
+def q_sessionize(spark, sf_dir):
+    """Sessions = per-user event runs split at gaps > 30 min.
+    Output: (user_id, session_idx, n_events, first_event_id, duration_sec).
+    Pure integer/timestamp arithmetic — bit-exact across engines."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_idx",
+            (F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1).cast("int"),
+        )
+    )
+    return ev.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_sec"),
+    )
+
+
 # --- J1: dedup by client job_id — duplicate submission suppression
 # (ocr.py:96-103 -> 409 echo; tested scripts/test_api_shape.py:69-81).
 # Simulated duplicate submission: the corpus unioned with itself ---------
@@ -258,6 +292,26 @@ def q_kind_validation(spark, sf_dir):
 
 
 ORACLES = {
+    "sessionize": """
+        WITH marked AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, event_id, ts,
+                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS INTEGER) AS session_idx
+          FROM marked
+        )
+        SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+               min(event_id) AS first_event_id,
+               CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+        FROM sess GROUP BY user_id, session_idx
+    """,
     "users_with_errors": """
         SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                CAST(count(*) AS BIGINT) AS n_events
@@ -385,6 +439,7 @@ ORACLES = {
 }
 
 QUERIES = {
+    "sessionize": q_sessionize,
     "users_with_errors": q_users_with_errors,
     "orders_without_items": q_orders_without_items,
     "heavy_customers": q_heavy_customers,
