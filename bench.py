@@ -89,9 +89,22 @@ def _time_extraction(cores: int, raw_path: str) -> tuple[float, int]:
     from docling_fast_server_spark.operators.dispatch import extract_auto
     from docling_fast_server_spark.session import get_spark
 
+    import glob
+
+    files = glob.glob(os.path.join(raw_path, "*.parquet"))
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    # One split per file. The corpus is written as CPUS*4 small files;
+    # default bin-packing (openCostInBytes=4m) folds them into ~5 splits,
+    # capping EVERY core count at ~5 tasks — 32 cores then can't beat 8
+    # (this was the round-1 driver-visible 8->32 regression). Zero open
+    # cost + avg-file-sized maxPartitionBytes keeps all files separate,
+    # so each core count gets the same ~CPUS*4-task job, just as a real
+    # cluster reading row-group-sized splits of a 100 TB table would.
+    avg = max(total_bytes // max(len(files), 1), 1)
     spark = get_spark(f"dfss-bench-{cores}", cores=cores, shuffle_partitions=cores)
     try:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "128m")
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(avg))
         raw = spark.read.parquet(raw_path)
         n_docs = raw.count()
 

@@ -8,16 +8,35 @@ relationally so every variant is Catalyst-optimized, shuffle-aware and
 exactly reproducible by the DuckDB oracle:
 
 - exact:    hash-groupBy on content, keep min(doc_id) (J1/J2 analog)
-- minhash:  shingle -> global shingle dictionary (dense_rank) ->
-            k universal hashes (a_j * rank + b_j mod P) -> min per doc ->
-            LSH banding -> candidate pairs -> exact-Jaccard verify.
-            Pure joins/aggregations: at 100 TB the dictionary becomes a
-            broadcast/bucketed dimension and banding is one shuffle on
-            (band, key) — no all-pairs stage ever materializes.
+- minhash:  per-document distinct shingle-hash SET computed entirely with
+            higher-order functions (split -> transform -> poly byte hash
+            -> array_distinct): a NARROW projection, no explode, no
+            distinct shuffle, no dictionary. The k min-hash signature
+            values are array_min over the set (still narrow), so the only
+            shuffles in the whole pipeline are the LSH band self-join and
+            the candidate-verify joins — the shape that survives 100 TB.
+            Round 1 built a global distinct-shingle dictionary
+            (distinct + two rank windows + executor-wide broadcast) which
+            is billions of rows at scale; it is gone.
 - simhash:  idf-weighted sign-sum over mixed universal hashes -> 32-bit
-            fingerprint, byte-banded blocking for hamming<=3 pairs.
-- ngram-jaccard: exact Jaccard on LSH candidates (the verify stage alone).
-- embedding near-dup: cosine over the embeddings table, label-blocked.
+            fingerprint, byte-banded pigeonhole blocking for hamming<=3
+            pairs. Document frequency is keyed on the int64 shingle hash
+            (partial-agg groupBy + shuffle join, never a broadcast of the
+            distinct set); all 32 bit-stream sums happen in ONE
+            groupBy(doc_id) — no k-way crossJoin row blowup.
+- ngram-jaccard: exact hash-set Jaccard on LSH candidates (the verify
+            stage alone — the oracle joins on the same int64 hash, so
+            parity holds even under hash collisions).
+- embedding near-dup: cosine within random-hyperplane LSH buckets (the
+  same deterministic planes as similarity.py) — no within-label all-pairs.
+
+The polynomial byte hash (Horner fold over characters, poly_hash /
+poly_hash_sql) is the cross-engine primitive: a Catalyst higher-order
+function on the Spark side and a DuckDB list_reduce on the oracle side,
+bit-identical. All modular arithmetic keeps intermediates < 2^63 at ANY
+corpus size: (a*h+b) <= 31*(POLY_P-1)+b < 2^35, reduced mod P_HASH BEFORE
+the MIX multiply ((x % P) * (MIX % P) < 2^39) — no silent int64
+wraparound on either engine (Spark wraps where DuckDB errors).
 
 The near-dup test corpus is self-made: deterministic mutated copies of
 every 10th document (doc_id+100000, three extra tokens) and exact copies
@@ -30,15 +49,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 P_HASH = 1_000_003
-MIX = 2_654_435_761  # multiply before mod: (a*r+b) alone never exceeds
-# P for dictionary-sized ranks, so min() would always pick the lowest
-# rank (degenerate minhash) and parity would collapse to parity(r)
-# (degenerate simhash); the product wraps P thoroughly. All int64-safe.
+MIX = 2_654_435_761  # Knuth multiplicative mix; applied as (x % P) *
+# (MIX % P) % P so every intermediate stays far below 2^63 regardless of
+# the hash magnitude — no engine-divergent overflow.
+MIXP = MIX % P_HASH  # = 427_799
+POLY_B = 131  # polynomial byte-hash base (Horner fold over characters)
+POLY_P = 1_000_000_007  # fold modulus: acc*131 + 255 < 2^37, int64-safe
 MINHASH_K = 8
 BAND_ROWS = 4  # 2 bands x 4 rows: collision prob per band = s^4, which
 # keeps candidate sets small even on overlap-heavy corpora (tiny shared
 # vocab inflates per-hash match probability; 2-row bands produced ~56k
 # false candidates on 5.7k docs at sf0.1)
+N_BANDS = MINHASH_K // BAND_ROWS
 HASH_A = [7, 11, 13, 17, 19, 23, 29, 31]
 HASH_B = [3, 5, 101, 2003, 407, 99, 12, 77]
 SHINGLE = 3
@@ -108,122 +130,121 @@ ORACLE_DEDUP_EXACT = f"""
 
 
 # ---------------------------------------------------------------------------
-# shingles + universal hashes (shared by minhash / simhash / jaccard)
+# cross-engine polynomial byte hash + per-doc shingle-hash sets
 # ---------------------------------------------------------------------------
-def _shingles(corpus: DataFrame) -> DataFrame:
-    """(doc_id, sh) distinct word-SHINGLE-grams. Narrow explode."""
+def poly_hash(col):
+    """Dictionary-free polynomial byte hash: Horner fold
+    h = fold(c in chars: (h*POLY_B + ascii(c)) % POLY_P), expressed as a
+    Catalyst higher-order function (whole-stage codegen, zero Python) and
+    reproduced verbatim by DuckDB list_reduce (poly_hash_sql). This
+    replaces the round-1 distinct+rank+broadcast shingle dictionary: a
+    narrow per-row map instead of two shuffles and an executor-OOM-at-
+    100TB broadcast. ASCII corpus assumed (ascii() takes the leading code
+    point in both engines, so parity holds for any single-codepoint-
+    leading string, and the synthetic corpus is pure ASCII)."""
+    return F.aggregate(
+        F.split(col, ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * POLY_B + F.ascii(c)) % POLY_P,
+    )
+
+
+def poly_hash_sql(col: str) -> str:
+    """DuckDB rendering of poly_hash — identical fold, identical result.
+    Lambda variables are ph_-prefixed so the expression can be nested
+    inside an outer DuckDB lambda without variable capture (Spark names
+    lambda variables uniquely on its own)."""
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, length({col})+1), "
+        f"ph_i -> CAST(ascii(substring({col}, CAST(ph_i AS INTEGER), 1)) AS BIGINT))), "
+        f"(ph_acc, ph_c) -> (ph_acc * {POLY_B} + ph_c) % {POLY_P})"
+    )
+
+
+def _doc_hashsets(corpus: DataFrame) -> DataFrame:
+    """(doc_id, hs): the distinct word-SHINGLE-gram hash set per document,
+    computed entirely with higher-order functions — split, transform to
+    shingle strings, poly-hash each, array_distinct. The hash fold is the
+    CPU-dominant stage, so spread the raw docs across all cores first:
+    at production scale the scan is already many files/row-groups and AQE
+    coalesces the exchange away, but a small benchmark table arrives as a
+    SINGLE parquet row-group (one task) and would serialize the fold."""
+    corpus = corpus.repartition(F.col("doc_id"))
     w = F.split(F.col("text"), " ")
-    sh = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(w) - SHINGLE, F.lit(0))),
+    sh_arr = F.transform(
+        F.sequence(F.lit(0), F.size(w) - SHINGLE),
         lambda i: F.concat_ws(
             " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
         ),
     )
-    return (
-        corpus.filter(F.size(w) >= SHINGLE)
-        .select("doc_id", F.explode(sh).alias("sh"))
-        .distinct()
-    )
+    hs = F.array_distinct(F.transform(sh_arr, poly_hash))
+    return corpus.filter(F.size(w) >= SHINGLE).select("doc_id", hs.alias("hs"))
 
 
-SHINGLES_SQL = f"""
-    SELECT DISTINCT doc_id,
-           w[CAST(i+1 AS INTEGER)] || ' ' || w[CAST(i+2 AS INTEGER)] || ' ' ||
-           w[CAST(i+3 AS INTEGER)] AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
-         unnest(range(4096)) AS u(i)
-    WHERE len(w) >= {SHINGLE} AND i <= len(w) - {SHINGLE}
-"""
-
-
-def _ranked_shingles(shingles: DataFrame) -> DataFrame:
-    """Attach the global lexicographic rank — the shingle dictionary.
-
-    A naive dense_rank() over an unpartitioned window funnels every
-    distinct shingle through ONE partition (WindowExec warns exactly
-    this). Scalable two-phase ranking instead: bucket by range-friendly
-    prefix, row_number within bucket (parallel windows), then add the
-    cumulative count of all earlier buckets (a tiny broadcast). Result is
-    identical to global dense_rank on distinct values.
-
-    At 100 TB one would hash shingles (xxhash64) instead of ranking; the
-    lexicographic dictionary exists so the DuckDB oracle can reproduce
-    signatures bit-exactly. The two-phase shape is the same one used for
-    global sorts at scale (range partition + local rank + offsets)."""
-    from pyspark.sql import Window
-
-    distinct = shingles.select("sh").distinct()
-    bucketed = distinct.withColumn("b", F.substring("sh", 1, 4))
-    local = bucketed.withColumn(
-        "lr", F.row_number().over(Window.partitionBy("b").orderBy("sh")).cast("long")
-    )
-    offsets = (
-        bucketed.groupBy("b")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "off",
-            F.coalesce(
-                F.sum("cnt").over(
-                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).cast("long"),
-        )
-        .select("b", "off")
-    )
-    dic = local.join(F.broadcast(offsets), "b").select(
-        "sh", (F.col("lr") + F.col("off")).alias("r")
-    )
-    # the dictionary (distinct shingles) is orders of magnitude smaller
-    # than the per-doc shingle table — broadcast it; Catalyst can't infer
-    # post-window sizes, so be explicit
-    return shingles.join(F.broadcast(dic), "sh")
-
-
-RANKED_SQL = """
-    , dict AS (
-        SELECT sh, CAST(dense_rank() OVER (ORDER BY sh) AS BIGINT) AS r
-        FROM (SELECT DISTINCT sh FROM shingles)
-    ),
-    ranked AS (SELECT s.doc_id, s.sh, d.r FROM shingles s JOIN dict d USING (sh))
-"""
-
-
-def _hash_params(spark) -> DataFrame:
-    rows = [(j, HASH_A[j], HASH_B[j]) for j in range(MINHASH_K)]
-    return spark.createDataFrame(rows, "j int, a long, b long")
-
-
-HASH_PARAMS_SQL = (
-    "(VALUES "
-    + ", ".join(f"({j}, {HASH_A[j]}, {HASH_B[j]})" for j in range(MINHASH_K))
-    + ") AS hp(j, a, b)"
+_SHINGLE_EXPR_SQL = (
+    "w[CAST(shi+1 AS INTEGER)] || ' ' || w[CAST(shi+2 AS INTEGER)] || ' ' || "
+    "w[CAST(shi+3 AS INTEGER)]"
 )
+
+# Cap-free: range(len(w)-2) generates exactly the valid shingle positions
+# for ANY document length — no silent 4096-token truncation to diverge
+# from the Spark side on long documents.
+HASHSETS_SQL = f"""
+    SELECT doc_id,
+           list_distinct(list_transform(range(len(w) - {SHINGLE - 1}),
+             shi -> {poly_hash_sql(_SHINGLE_EXPR_SQL)})) AS hs
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+    WHERE len(w) >= {SHINGLE}
+"""
+
+
+def _uhash(j: int, h):
+    """Universal hash j over an int64 hash column, intermediates < 2^39."""
+    return ((F.lit(HASH_A[j]) * h + F.lit(HASH_B[j])) % P_HASH) * MIXP % P_HASH
+
+
+def _uhash_sql(j: int, col: str) -> str:
+    return f"(({HASH_A[j]} * {col} + {HASH_B[j]}) % {P_HASH}) * {MIXP} % {P_HASH}"
 
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding + exact-Jaccard verify
 # ---------------------------------------------------------------------------
 def q_dedup_minhash(spark, sf_dir):
-    """LSH candidate pairs verified by exact Jaccard >= threshold.
-    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b."""
+    """LSH candidate pairs verified by exact (hash-set) Jaccard >=
+    threshold. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    Plan shape: signatures are narrow (array_min of a transform over the
+    per-doc hash set); the shuffles are (1) the band-bucket self-join on
+    (band, key) and (2) the candidate verify joins, whose intermediate is
+    |A∩B| rows per candidate pair, never |A|x|B|."""
     corpus = mutated_corpus(spark, sf_dir)
-    # the shingle set feeds four downstream consumers (signatures, sizes,
-    # and both sides of the intersection join) — persist once instead of
-    # re-exploding the corpus per consumer
-    sh = _shingles(corpus).persist()
-    ranked = _ranked_shingles(sh)
-    hp = F.broadcast(_hash_params(spark))
-    sig = (
-        ranked.crossJoin(hp)
-        .groupBy("doc_id", "j")
-        .agg(F.min((F.col("a") * F.col("r") + F.col("b")) * MIX % P_HASH).alias("h"))
+    # the hash-set df feeds signatures, sizes, and both sides of the
+    # intersection join — persist once instead of re-deriving per consumer
+    hsdf = _doc_hashsets(corpus).persist()
+    def _sig_col(j: int):
+        # a plain closure: a `lambda h, j=j` would have two parameters and
+        # PySpark would bind the second to the array index column
+        return F.array_min(F.transform(F.col("hs"), lambda h: _uhash(j, h))).alias(f"h{j}")
+
+    sig = hsdf.select(
+        "doc_id",
+        F.size("hs").cast("long").alias("n"),
+        *[_sig_col(j) for j in range(MINHASH_K)],
     )
-    bands = (
-        sig.withColumn("band", (F.col("j") / BAND_ROWS).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.concat_ws("-", F.array_sort(F.collect_list(F.concat_ws(":", "j", "h")))).alias("key"))
-    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":", *[F.col(f"h{j}") for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)]
+            ).alias("key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.band", "bk.key")
     cand = (
         bands.alias("x")
         .join(bands.alias("y"), ["band", "key"])
@@ -231,11 +252,11 @@ def q_dedup_minhash(spark, sf_dir):
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    # shared-shingle count: join candidate pairs to both shingle sets so
-    # the intermediate is |A∩B| rows per pair, never |A|×|B|; join on the
-    # int64 dictionary rank, not the shingle string (cheaper hash/shuffle)
-    rk = ranked.select("doc_id", "r")
+    sizes = sig.select("doc_id", "n")
+    # shared-hash count: join candidate pairs to both hash sets so the
+    # intermediate is |A∩B| rows per pair; the oracle joins on the same
+    # int64 hash, so parity holds even under hash collisions
+    rk = hsdf.select("doc_id", F.explode("hs").alias("r"))
     shared = (
         cand.join(rk.select(F.col("doc_id").alias("doc_a"), "r"), "doc_a")
         .join(rk.select(F.col("doc_id").alias("doc_b"), "r"), ["doc_b", "r"])
@@ -255,38 +276,52 @@ def q_dedup_minhash(spark, sf_dir):
     return out
 
 
+_SIG_COLS_SQL = ",\n               ".join(
+    f"list_min(list_transform(hs, uh -> {_uhash_sql(j, 'uh')})) AS h{j}"
+    for j in range(MINHASH_K)
+)
+
+
+def _band_key_sql(b: int) -> str:
+    return " || ':' || ".join(
+        f"CAST(h{j} AS VARCHAR)" for j in range(b * BAND_ROWS, (b + 1) * BAND_ROWS)
+    )
+
+
+_BANDS_SQL = "\n        UNION ALL\n        ".join(
+    f"SELECT doc_id, {b} AS band, {_band_key_sql(b)} AS key FROM sig"
+    for b in range(N_BANDS)
+)
+
 ORACLE_DEDUP_MINHASH = f"""
     WITH corpus AS ({MUTATED_SQL}),
-    shingles AS ({SHINGLES_SQL})
-    {RANKED_SQL},
+    hsets AS ({HASHSETS_SQL}),
     sig AS (
-        SELECT doc_id, hp.j, min((hp.a * r + hp.b) * {MIX} % {P_HASH}) AS h
-        FROM ranked, {HASH_PARAMS_SQL}
-        GROUP BY doc_id, hp.j
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n,
+               {_SIG_COLS_SQL}
+        FROM hsets
     ),
     bands AS (
-        SELECT doc_id, j // {BAND_ROWS} AS band,
-               array_to_string(list_sort(list(CAST(j AS VARCHAR) || ':' || CAST(h AS VARCHAR))), '-') AS key
-        FROM sig GROUP BY doc_id, j // {BAND_ROWS}
+        {_BANDS_SQL}
     ),
     cand AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
         WHERE x.doc_id < y.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    rk AS (SELECT doc_id, unnest(hs) AS r FROM hsets),
     shared AS (
         SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_shared
         FROM cand c
-        JOIN shingles sa ON sa.doc_id = c.doc_a
-        JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        JOIN rk sa ON sa.doc_id = c.doc_a
+        JOIN rk sb ON sb.doc_id = c.doc_b AND sb.r = sa.r
         GROUP BY c.doc_a, c.doc_b
     )
     SELECT s.doc_a, s.doc_b,
            round(CAST(s.n_shared AS DOUBLE) / (za.n + zb.n - s.n_shared), 4) AS jaccard
     FROM shared s
-    JOIN sizes za ON za.doc_id = s.doc_a
-    JOIN sizes zb ON zb.doc_id = s.doc_b
+    JOIN sig za ON za.doc_id = s.doc_a
+    JOIN sig zb ON zb.doc_id = s.doc_b
     WHERE round(CAST(s.n_shared AS DOUBLE) / (za.n + zb.n - s.n_shared), 4) >= {JACCARD_THRESHOLD}
 """
 
@@ -308,73 +343,72 @@ def q_dedup_simhash(spark, sf_dir):
     every signature into a few hamming-adjacent values (70k+ false
     hamming<=3 pairs on 550 docs). Integer weights keep the sums
     order-independent and bit-exact across engines.
-    Output: (doc_id, simhash)."""
+
+    Plan shape: df counts are a partial-agg groupBy on the int64 hash and
+    a shuffle join (no broadcast of the distinct set); all
+    MINHASH_K*SIMHASH_STREAMS bit-sums run in ONE groupBy(doc_id) with no
+    crossJoin row blowup. Output: (doc_id, simhash)."""
     corpus = mutated_corpus(spark, sf_dir)
-    sh = _shingles(corpus)
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        _ranked_shingles(sh)
-        .join(F.broadcast(dfreq), "sh")
-        .withColumn("wt", F.expr("1000 div df"))
-    )
-    hp = F.broadcast(_hash_params(spark))
-    base = ranked.crossJoin(hp)
-    sums = base.groupBy("doc_id", "j").agg(
-        *[
-            F.sum(
+    rk = _doc_hashsets(corpus).select("doc_id", F.explode("hs").alias("r"))
+    dfreq = rk.groupBy("r").agg(F.count(F.lit(1)).alias("df"))
+    weighted = rk.join(dfreq, "r").withColumn("wt", F.expr("1000 div df"))
+    aggs = [
+        F.sum(
+            (
                 (
-                    ((((F.col("a") + 2 * k) * F.col("r") + F.col("b") * (2 * k + 1)) * MIX % P_HASH) % 2)
-                    * 2
-                    - 1
+                    (
+                        (F.lit(HASH_A[j] + 2 * k) * F.col("r") + F.lit(HASH_B[j] * (2 * k + 1)))
+                        % P_HASH
+                    )
+                    * MIXP
+                    % P_HASH
+                    % 2
                 )
-                * F.col("wt")
-            ).alias(f"s{k}")
-            for k in range(SIMHASH_STREAMS)
-        ]
-    )
-    part = None
-    for k in range(SIMHASH_STREAMS):
-        term = F.when(
-            F.col(f"s{k}") > 0, F.expr(f"shiftleft(CAST(1 AS BIGINT), j + {k * MINHASH_K})")
-        ).otherwise(0)
-        part = term if part is None else part + term
-    return (
-        sums.select("doc_id", part.alias("part"))
-        .groupBy("doc_id")
-        .agg(F.sum("part").cast("long").alias("simhash"))
-    )
+                * 2
+                - 1
+            )
+            * F.col("wt")
+        ).alias(f"s_{j}_{k}")
+        for j in range(MINHASH_K)
+        for k in range(SIMHASH_STREAMS)
+    ]
+    sums = weighted.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for j in range(MINHASH_K):
+        for k in range(SIMHASH_STREAMS):
+            term = (
+                F.when(F.col(f"s_{j}_{k}") > 0, F.lit(1 << (j + k * MINHASH_K)).cast("long"))
+                .otherwise(F.lit(0).cast("long"))
+            )
+            fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
 
 
-_SIMHASH_BITS_SQL = ",\n               ".join(
-    f"sum(((((hp.a + {2 * k}) * r + hp.b * {2 * k + 1}) * {MIX} % {P_HASH}) % 2 * 2 - 1) * wt) AS s{k}"
+_SIM_SUMS_SQL = ",\n               ".join(
+    f"sum(((({HASH_A[j] + 2 * k} * r + {HASH_B[j] * (2 * k + 1)}) % {P_HASH}) * {MIXP} % {P_HASH} % 2 * 2 - 1) * wt) AS s_{j}_{k}"
+    for j in range(MINHASH_K)
     for k in range(SIMHASH_STREAMS)
 )
-# dfreq/weight CTE appended after RANKED_SQL by the simhash oracles
-_WEIGHTED_SQL = """
-    , dfreq AS (SELECT sh, count(*) AS df FROM shingles GROUP BY sh),
-    weighted AS (
-        SELECT ranked.doc_id, ranked.r, 1000 // dfreq.df AS wt
-        FROM ranked JOIN dfreq USING (sh)
-    )
+_SIM_FP_SQL = "\n              + ".join(
+    f"CASE WHEN s_{j}_{k} > 0 THEN CAST(1 AS BIGINT) << {j + k * MINHASH_K} ELSE 0 END"
+    for j in range(MINHASH_K)
+    for k in range(SIMHASH_STREAMS)
+)
+
+# shared CTE chain for both simhash oracles (expects a corpus CTE)
+_SIMHASH_CORE_SQL = f"""
+    hsets AS ({HASHSETS_SQL}),
+    rk AS (SELECT doc_id, unnest(hs) AS r FROM hsets),
+    dfreq AS (SELECT r, count(*) AS df FROM rk GROUP BY r),
+    weighted AS (SELECT rk.doc_id, rk.r, 1000 // dfreq.df AS wt FROM rk JOIN dfreq USING (r)),
+    sums AS (SELECT doc_id, {_SIM_SUMS_SQL} FROM weighted GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({_SIM_FP_SQL} AS BIGINT) AS simhash FROM sums)
 """
-_SIMHASH_SUM_SQL = "\n              + ".join(
-    f"CASE WHEN s{k} > 0 THEN CAST(1 AS BIGINT) << (j + {k * MINHASH_K}) ELSE 0 END"
-    for k in range(SIMHASH_STREAMS)
-)
 
 ORACLE_DEDUP_SIMHASH = f"""
     WITH corpus AS ({MUTATED_SQL}),
-    shingles AS ({SHINGLES_SQL})
-    {RANKED_SQL}{_WEIGHTED_SQL},
-    bits AS (
-        SELECT doc_id, hp.j,
-               {_SIMHASH_BITS_SQL}
-        FROM weighted, {HASH_PARAMS_SQL}
-        GROUP BY doc_id, hp.j
-    )
-    SELECT doc_id,
-           CAST(sum({_SIMHASH_SUM_SQL}) AS BIGINT) AS simhash
-    FROM bits GROUP BY doc_id
+    {_SIMHASH_CORE_SQL}
+    SELECT doc_id, simhash FROM sig
 """
 
 
@@ -420,19 +454,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 
 ORACLE_DEDUP_SIMHASH_PAIRS = f"""
     WITH corpus AS ({MUTATED_SQL}),
-    shingles AS ({SHINGLES_SQL})
-    {RANKED_SQL}{_WEIGHTED_SQL},
-    bits AS (
-        SELECT doc_id, hp.j,
-               {_SIMHASH_BITS_SQL}
-        FROM weighted, {HASH_PARAMS_SQL}
-        GROUP BY doc_id, hp.j
-    ),
-    sig AS (
-        SELECT doc_id,
-               CAST(sum({_SIMHASH_SUM_SQL}) AS BIGINT) AS simhash
-        FROM bits GROUP BY doc_id
-    )
+    {_SIMHASH_CORE_SQL}
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
            CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
     FROM sig x JOIN sig y ON x.doc_id < y.doc_id
@@ -445,27 +467,38 @@ ORACLE_DEDUP_SIMHASH_PAIRS = f"""
 
 
 # ---------------------------------------------------------------------------
-# embedding near-dup (cosine, label-blocked)
+# embedding near-dup (cosine within random-hyperplane LSH blocks)
 # ---------------------------------------------------------------------------
+EMB_BANDS = 4
+EMB_PLANES_PER_BAND = 6  # 64 buckets per band; OR over 4 bands for recall
+
+
 def q_dedup_embedding(spark, sf_dir):
-    """Near-identical embedding pairs (cosine >= threshold) within label
-    blocks. Mutated corpus: every 10th vector duplicated scaled by 1.01
+    """Near-identical embedding pairs (cosine >= threshold) blocked on
+    random-hyperplane LSH buckets (multi-band OR, shared with
+    similarity.banded_buckets). Round-1 blocked on `label` — a handful of
+    coarse blocks makes that O(n^2/L) all-pairs at scale; hyperplane
+    buckets scale with 2^planes instead, and a positive scalar multiple
+    never flips a sign bit, so exact-scaled duplicates always share every
+    band. Mutated corpus: every 10th vector duplicated scaled by 1.01
     (cosine exactly 1). Output: (vec_a, vec_b, cos_sim)."""
+    from .similarity import banded_buckets
+
     base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "label", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     near = base.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + NEAR_STEP).alias("vec_id"),
-        "label",
         F.transform("v", lambda x: x * 1.01).alias("v"),
     )
     allv = base.unionByName(near)
+    banded = banded_buckets(spark, allv, EMB_BANDS, EMB_PLANES_PER_BAND)
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    x, y = allv.alias("x"), allv.alias("y")
+    x, y = banded.alias("x"), banded.alias("y")
     pairs = (
-        x.join(y, "label")  # label blocking: the scale path shuffles once on label
+        x.join(y, ["band", "key"])  # one shuffle on the (band, key) pair
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(
             F.col("x.vec_id").alias("vec_a"),
@@ -477,30 +510,41 @@ def q_dedup_embedding(spark, sf_dir):
         )
         .filter(F.col("cos") >= COSINE_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
+        .distinct()  # pairs may collide in several bands; cos_sim is a
+        # pure function of the pair, so this is exactly pair-dedup
     )
     return pairs
 
 
-ORACLE_DEDUP_EMBEDDING = f"""
+def _oracle_dedup_embedding() -> str:
+    from .similarity import banded_buckets_sql, planes_sql
+
+    return f"""
     WITH base AS (
-        SELECT vec_id, label, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
         FROM embeddings
     ),
-    allv AS (
+    vecs AS (
         SELECT * FROM base
         UNION ALL
-        SELECT vec_id + {NEAR_STEP}, label, list_transform(v, e -> e * 1.01)
+        SELECT vec_id + {NEAR_STEP}, list_transform(v, e -> e * 1.01)
         FROM base WHERE vec_id % 10 = 0
     ),
+    planes AS ({planes_sql(EMB_BANDS * EMB_PLANES_PER_BAND)}),
+    banded AS ({banded_buckets_sql(EMB_BANDS, EMB_PLANES_PER_BAND)}),
     pairs AS (
         SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
                list_dot_product(x.v, y.v) /
                (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
-        FROM allv x JOIN allv y ON x.label = y.label AND x.vec_id < y.vec_id
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
     )
-    SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
+    SELECT DISTINCT vec_a, vec_b, round(cos, 4) AS cos_sim
     FROM pairs WHERE cos >= {COSINE_THRESHOLD}
 """
+
+
+ORACLE_DEDUP_EMBEDDING = _oracle_dedup_embedding()
 
 
 QUERIES = {

@@ -1,13 +1,23 @@
 """Similarity search over the embeddings table.
 
-Brute-force cosine top-k as the correctness baseline, and a random-
-hyperplane LSH-bucketed variant as the scale path (at 100 TB the bucket
+Brute-force cosine top-k as the correctness baseline, and a multi-band
+random-hyperplane LSH variant as the scale path (at 100 TB the bucket
 assignment is one narrow map, the candidate join shuffles once on the
-bucket key, and per-bucket top-k is a bounded window — no all-pairs stage).
+(band, key) pair, and per-bucket top-k is a bounded window — no all-pairs
+stage).
 
-Both are pure DataFrame code (zip_with/aggregate dot products inside
-whole-stage codegen) and exactly reproducible in DuckDB, including the
-deterministic pseudo-random hyperplanes: h_p[d] = ((1 + (p*64+d) *
+The LSH uses an OR-construction over ANN_BANDS bands of
+ANN_PLANES_PER_BAND hyperplanes each (16 planes total): a candidate must
+match the query's full bit-key in AT LEAST ONE band. Per-band keys of b
+bits keep candidate sets ~n/2^b per band (selectivity grows with planes),
+while the OR over bands recovers recall that a single monolithic bucket
+table loses — P(candidate) = 1 - (1 - p_band)^bands where
+p_band = (1 - theta/pi)^b for vectors at angle theta. With 4x4 this is
+~0.95 for cos≈0.9 neighbors and ~1-1e-7 for near-duplicates.
+
+Both variants are pure DataFrame code (zip_with/aggregate dot products
+inside whole-stage codegen) and exactly reproducible in DuckDB, including
+the deterministic pseudo-random hyperplanes: h_p[d] = ((1 + (p*64+d) *
 2654435761) % 97) - 48 — integer arithmetic, identical in both engines.
 
 Ranking is done on round(cos, 3) with vec_id tiebreak: coarse rounding
@@ -20,14 +30,15 @@ shortest-string BigDecimal HALF_UP vs DuckDB's scaled-double rounding.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DIM = 64
-N_PLANES = 4
 QUERY_MOD = 50  # vec_id % 50 == 0 are the query set
 TOPK = 5
 ANN_TOPK = 3
+ANN_BANDS = 4
+ANN_PLANES_PER_BAND = 4  # 16 planes total, 16 buckets per band
 _MIX = 2654435761  # Knuth multiplicative constant
 
 
@@ -55,8 +66,10 @@ def q_sim_topk_brute(spark, sf_dir):
     queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
+    # spread the scan side: the per-pair dot products dominate, and a
+    # small benchmark table is a single row-group (one task) otherwise
     scored = (
-        vecs.crossJoin(F.broadcast(queries))
+        vecs.repartition(F.col("vec_id")).crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -94,9 +107,11 @@ ORACLE_SIM_TOPK_BRUTE = f"""
 """
 
 
-def _planes(spark):
-    """N_PLANES deterministic hyperplanes as array<double> columns."""
-    return spark.range(N_PLANES).select(
+def _planes(spark, n_planes: int) -> DataFrame:
+    """n_planes deterministic integer-valued hyperplanes as array<double>.
+    (p*DIM + d) * MIX stays < 2^42 for any realistic plane count —
+    int64-safe in both engines."""
+    return spark.range(n_planes).select(
         F.col("id").cast("int").alias("p"),
         F.transform(
             F.sequence(F.lit(0), F.lit(DIM - 1)),
@@ -105,34 +120,78 @@ def _planes(spark):
     )
 
 
-def q_sim_ann_lsh(spark, sf_dir):
-    """LSH-bucketed approximate top-k: sign(dot(v, h_p)) bits -> bucket;
-    candidates share the query's bucket. Output (q_id, neighbor_id, rank,
-    cos_sim) — approximate by construction; the oracle reproduces the
-    same buckets so results match exactly."""
-    vecs = _vecs(spark, sf_dir)
-    planes = F.broadcast(_planes(spark))
-    buckets = (
+def planes_sql(n_planes: int) -> str:
+    """DuckDB CTE body reproducing _planes(n_planes) bit-exactly."""
+    return f"""
+        SELECT CAST(p AS INTEGER) AS p,
+               list_transform(range({DIM}), d -> CAST(((1 + (p*{DIM}+d) * {_MIX}) % 97) - 48 AS DOUBLE)) AS h
+        FROM (SELECT unnest(range({n_planes})) AS p)
+    """
+
+
+def banded_buckets(spark, vecs: DataFrame, bands: int, ppb: int) -> DataFrame:
+    """(vec_id, v, band, key): per-band sign-bit LSH key over
+    bands*ppb deterministic hyperplanes. One broadcast of the tiny plane
+    table, one narrow map, one groupBy(vec_id, band) — the whole bucket
+    assignment is a single shuffle regardless of corpus size. Scaling a
+    vector by a positive constant never flips a sign bit, so exact-scaled
+    near-duplicates always share every band key.
+
+    The plane dot products are the CPU-dominant stage, so spread the
+    vectors across all cores first: a small benchmark table arrives as a
+    single parquet row-group (one task) and would serialize them; at
+    production scale the scan is already parallel and AQE coalesces."""
+    vecs = vecs.repartition(F.col("vec_id"))
+    planes = F.broadcast(_planes(spark, bands * ppb))
+    return (
         vecs.crossJoin(planes)
         .select(
             "vec_id",
             "v",
-            F.when(_dot(F.col("v"), F.col("h")) > 0, F.expr("shiftleft(1, p)")).otherwise(0).alias("bit"),
+            (F.col("p") / ppb).cast("int").alias("band"),
+            F.when(
+                _dot(F.col("v"), F.col("h")) > 0,
+                F.expr(f"shiftleft(1, p % {ppb})"),
+            )
+            .otherwise(0)
+            .alias("bit"),
         )
-        .groupBy("vec_id")
-        .agg(F.first("v").alias("v"), F.sum("bit").cast("int").alias("bucket"))
+        .groupBy("vec_id", "band")
+        .agg(F.first("v").alias("v"), F.sum("bit").cast("int").alias("key"))
     )
-    queries = buckets.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+
+
+def banded_buckets_sql(bands: int, ppb: int) -> str:
+    """DuckDB CTE body reproducing banded_buckets over a `vecs` CTE
+    with (vec_id, v)."""
+    return f"""
+        SELECT vec_id, any_value(v) AS v, CAST(p // {ppb} AS INTEGER) AS band,
+               CAST(sum(CASE WHEN list_dot_product(v, h) > 0 THEN 1 << (p % {ppb}) ELSE 0 END) AS INTEGER) AS key
+        FROM vecs, planes GROUP BY vec_id, p // {ppb}
+    """
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    """Multi-band LSH approximate top-k: candidates share the query's
+    full bit-key in >=1 of ANN_BANDS bands (OR-construction). Output
+    (q_id, neighbor_id, rank, cos_sim) — approximate by construction; the
+    oracle reproduces the same buckets so results match exactly."""
+    vecs = _vecs(spark, sf_dir)
+    banded = banded_buckets(spark, vecs, ANN_BANDS, ANN_PLANES_PER_BAND)
+    queries = banded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "band", "key"
     )
     scored = (
-        buckets.join(F.broadcast(queries), "bucket")
+        banded.join(F.broadcast(queries), ["band", "key"])
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(_cos(F.col("qv"), F.col("v")), 3).alias("cos3"),
         )
+        .distinct()  # a pair may collide in several bands; cos3 is a pure
+        # function of the pair, so distinct on (q_id, neighbor, cos3) is
+        # exactly pair-dedup
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id").asc())
     return (
@@ -147,22 +206,14 @@ ORACLE_SIM_ANN_LSH = f"""
         SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
         FROM embeddings
     ),
-    planes AS (
-        SELECT CAST(p AS INTEGER) AS p,
-               list_transform(range({DIM}), d -> CAST(((1 + (p*{DIM}+d) * {_MIX}) % 97) - 48 AS DOUBLE)) AS h
-        FROM (SELECT unnest(range({N_PLANES})) AS p)
-    ),
-    buckets AS (
-        SELECT vec_id, any_value(v) AS v,
-               CAST(sum(CASE WHEN list_dot_product(v, h) > 0 THEN 1 << p ELSE 0 END) AS INTEGER) AS bucket
-        FROM vecs, planes GROUP BY vec_id
-    ),
-    queries AS (SELECT vec_id AS q_id, v AS qv, bucket FROM buckets WHERE vec_id % {QUERY_MOD} = 0),
+    planes AS ({planes_sql(ANN_BANDS * ANN_PLANES_PER_BAND)}),
+    banded AS ({banded_buckets_sql(ANN_BANDS, ANN_PLANES_PER_BAND)}),
+    queries AS (SELECT vec_id AS q_id, v AS qv, band, key FROM banded WHERE vec_id % {QUERY_MOD} = 0),
     scored AS (
-        SELECT q.q_id, x.vec_id AS neighbor_id,
+        SELECT DISTINCT q.q_id, x.vec_id AS neighbor_id,
                round(list_dot_product(q.qv, x.v) /
                      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.v, x.v))), 3) AS cos3
-        FROM buckets x JOIN queries q ON x.bucket = q.bucket AND x.vec_id != q.q_id
+        FROM banded x JOIN queries q ON x.band = q.band AND x.key = q.key AND x.vec_id != q.q_id
     ),
     ranked AS (
         SELECT q_id, neighbor_id, cos3,

@@ -12,20 +12,26 @@ each exactly reproducible in the DuckDB oracle.
   scoring used for boilerplate in html_extract, applied corpus-wide.
 - lang-id: stopword-profile heuristic (en profile; the reference pins
   OCR lang=['en'], pdf_processor.py:105).
-- fingerprint: dictionary-rank polynomial rolling hash — deterministic
-  across engines (no engine-specific hash functions), the binary_hash
-  analog (output.json:1 .origin.binary_hash).
+- fingerprint: position-weighted polynomial rolling hash over per-word
+  byte hashes — deterministic across engines (no engine-specific hash
+  functions), the binary_hash analog (output.json:1 .origin.binary_hash).
+  Round 1 ranked words through a global dense_rank dictionary (a single-
+  partition window funnel); now the word hash is dedup.poly_hash — a
+  narrow per-row map, so the whole fingerprint is ONE projection with no
+  explode, no join, no window and no shuffle at any corpus size.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
+
+from .dedup import poly_hash, poly_hash_sql
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in")
 EN_THRESHOLD = 0.02
 FP_PRIME = 1_000_003
-FP_MOD = 2_147_483_647
+FP_MOD = 2_147_483_647  # 2^31 - 1; (h+1)*(pos+1) < 2^61 and
+# (x % FP_MOD) * FP_PRIME < 2^51 — int64-safe for ANY document length
 
 
 def _docs(spark, sf_dir):
@@ -101,42 +107,47 @@ ORACLE_LANGID = f"""
 
 
 def q_fingerprint(spark, sf_dir):
-    """Polynomial rolling hash over (global word rank, position) — pure
-    integer arithmetic so the oracle reproduces it bit-exactly. The word
-    dictionary is a broadcastable dimension at any scale."""
-    docs = _docs(spark, sf_dir).select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
-    dic = (
-        docs.select("word")
-        .distinct()
-        .withColumn("r", F.dense_rank().over(Window.orderBy("word")).cast("long"))
-    )
-    return (
-        docs.join(F.broadcast(dic), "word")
-        .groupBy("doc_id")
-        .agg(
-            (
-                F.sum(((F.col("r") + 1) * (F.col("pos") + 1) * FP_PRIME) % FP_MOD) % FP_MOD
-            ).cast("long").alias("fingerprint"),
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    """Position-weighted polynomial rolling hash:
+    fp = sum_i ((poly_hash(word_i)+1) * (i+1) % FP_MOD * FP_PRIME % FP_MOD)
+         mod FP_MOD
+    — pure integer higher-order functions (transform-with-index +
+    aggregate), so the whole fingerprint is a single narrow projection:
+    no explode, no dictionary join, no window, zero shuffles. The oracle
+    reproduces it bit-exactly via list_zip/unnest (cap-free: valid for
+    any document length, no silent truncation)."""
+    w = F.split(F.col("text"), " ")
+    terms = F.transform(
+        w,
+        lambda word, i: (
+            ((poly_hash(word) + 1) * (i.cast("long") + 1)) % FP_MOD
         )
+        * FP_PRIME
+        % FP_MOD,
+    )
+    fp = F.aggregate(
+        terms, F.lit(0).cast("long"), lambda acc, x: (acc + x) % FP_MOD
+    )
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.size(w).cast("long").alias("n_tokens"),
     )
 
 
+# sum-then-mod in SQL == running-mod in Spark: every term is already
+# < FP_MOD and DuckDB sums in 128-bit, so both equal (sum terms) mod M.
 ORACLE_FINGERPRINT = f"""
     WITH words AS (
-      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, w[CAST(u.i + 1 AS INTEGER)] AS word
-      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-           unnest(range(4096)) AS u(i)
-      WHERE u.i < len(w)
-    ),
-    dict AS (
-      SELECT word, CAST(dense_rank() OVER (ORDER BY word) AS BIGINT) AS r
-      FROM (SELECT DISTINCT word FROM words)
+      SELECT doc_id, CAST(z[2] AS BIGINT) AS pos, CAST(z[1] AS VARCHAR) AS word
+      FROM (
+        SELECT doc_id, unnest(list_zip(w, range(len(w)))) AS z
+        FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+      )
     )
     SELECT doc_id,
-           CAST(sum(((r + 1) * (pos + 1) * {FP_PRIME}) % {FP_MOD}) % {FP_MOD} AS BIGINT) AS fingerprint,
+           CAST(sum((({poly_hash_sql('word')} + 1) * (pos + 1)) % {FP_MOD} * {FP_PRIME} % {FP_MOD}) % {FP_MOD} AS BIGINT) AS fingerprint,
            CAST(count(*) AS BIGINT) AS n_tokens
-    FROM words JOIN dict USING (word)
+    FROM words
     GROUP BY doc_id
 """
 

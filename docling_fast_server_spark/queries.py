@@ -50,6 +50,15 @@ def q_extract_all_spans(spark, sf_dir):
     return _exploded(extract_all(spark, sf_dir))
 
 
+def q_extract_binary_spans(spark, sf_dir):
+    """K1 bytes contract: corpus -> packed DFSB binary payloads -> the
+    byte-parsing kernel -> spans. Must equal extract_all_spans exactly
+    (same oracle), proving the bytes->cells->layout path end to end."""
+    from .sources.binary_pack import extract_binary, pack_raw
+
+    return _exploded(extract_binary(pack_raw(docs_raw(spark, sf_dir, which="all"))))
+
+
 def q_conversion_methods(spark, sf_dir):
     """Histogram of conversion tiers — the K10 degraded-tier accounting
     (and the status-histogram pattern of queue_manager.py:853-858)."""
@@ -187,6 +196,7 @@ EXTRACTION_QUERIES = {
     "extract_html_spans": q_extract_html_spans,
     "extract_pdf_spans": q_extract_pdf_spans,
     "extract_all_spans": q_extract_all_spans,
+    "extract_binary_spans": q_extract_binary_spans,
     "conversion_methods": q_conversion_methods,
     "export_markdown": q_export_markdown,
     "export_html": q_export_html,
@@ -199,6 +209,7 @@ EXTRACTION_ORACLES = {
     "extract_html_spans": expected_spans_sql("html"),
     "extract_pdf_spans": expected_spans_sql("pdf"),
     "extract_all_spans": expected_spans_sql("all"),
+    "extract_binary_spans": expected_spans_sql("all"),
     "conversion_methods": ORACLE_CONVERSION_METHODS,
     "export_markdown": ORACLE_EXPORT_MARKDOWN,
     "export_html": ORACLE_EXPORT_HTML,
