@@ -133,6 +133,8 @@ def _time_extraction(cores: int, raw_path: str) -> tuple[float, int]:
         return best, n_docs
     finally:
         spark.stop()
+        time.sleep(2)  # let the previous JVM/worker fleet fully exit so
+        # its shutdown doesn't steal cycles from the next timed session
 
 
 def main() -> None:

@@ -113,3 +113,40 @@ def with_exports(df, spans_col: str = "spans"):
             "doc_json": spans_to_json(s),
         }
     )
+
+
+EXPORT_FORMATS = ("markdown", "html", "doctags", "json")
+_FORMAT_COL = {"markdown": "markdown", "html": "html", "doctags": "doctags", "json": "doc_json"}
+
+
+def melt_exports(df, spans_col: str = "spans"):
+    """(doc_id, format, payload): the four serializations as rows — the
+    melt that feeds the per-format partitioned sink. Narrow (withColumns
+    + explode of a 4-element literal array)."""
+    structs = [
+        F.struct(F.lit(fmt).alias("format"), F.col(col).alias("payload"))
+        for fmt, col in _FORMAT_COL.items()
+    ]
+    return (
+        with_exports(df, spans_col)
+        .select("doc_id", F.explode(F.array(*structs)).alias("fp"))
+        .select("doc_id", F.col("fp.format").alias("format"), F.col("fp.payload").alias("payload"))
+    )
+
+
+def write_exports_partitioned(df, path: str, compression: str = "zstd") -> None:
+    """S9 per-format sink + S6 explicit compression: write the melted
+    exports PARTITIONED BY (format) with zstd. The reference writes each
+    serialization to its own output prefix (tests/runpod_integration.py:
+    160-190) and gzips responses/archives (src/main.py:23,
+    queue_manager.py:443-469); the columnar analog is one partitioned
+    table whose per-format readers scan ONLY their partition (partition
+    pruning — asserted in tests/test_exports_sink.py) with a modern
+    codec set explicitly rather than inherited defaults."""
+    (
+        melt_exports(df)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy("format")
+        .parquet(path)
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dispatch import extract_auto
 from ..operators.lineage import anti_join_committed, lineage_summary, with_partition_metrics
-from ..sources.io import append_table, read_table, table_exists
+from ..sources.io import append_table, merge_append_table, read_table, table_exists
 
 
 def spread_by_size(raw: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -70,7 +70,11 @@ def run_extraction(
     # same snapshot. On the Iceberg production path snapshot isolation
     # makes this a non-issue.
     with_meta = with_meta.localCheckpoint(eager=True)
-    append_table(
+    # MERGE-grade commit: the anti-join above closes the common resume
+    # case, but two runs overlapping in time both snapshot the table
+    # before either commits — merge_append_table drops the loser's
+    # duplicates at commit time (Iceberg MERGE INTO in production).
+    merge_append_table(
         with_meta.select(
             "doc_id", "spans", "conversion_method", "error", "run_id", "partition_id"
         ),

@@ -164,30 +164,55 @@ ORACLE_EXPORT_JSON = _export_oracle(_JSON_RENDER, "','", prefix="[", suffix="]",
 # ---------------------------------------------------------------------------
 # chunking
 # ---------------------------------------------------------------------------
-def q_chunks(spark, sf_dir):
-    return chunk_spans(extract_all(spark, sf_dir))
+CHUNK_BUDGET = 8  # < PARA_WORDS so the oracle gate exercises oversize
+# splitting on every paragraph, not just the happy path
 
+
+def q_chunks(spark, sf_dir):
+    return chunk_spans(extract_all(spark, sf_dir), budget=CHUNK_BUDGET)
+
+
+_B = CHUNK_BUDGET
+_KEY_SHIFT = 1 << 20  # must match chunking._KEY_SHIFT
 
 ORACLE_CHUNKS = f"""
     WITH exp AS ({expected_spans_sql("all")}),
-    tok AS (
+    sp AS (
       SELECT doc_id, "offset", text,
              CASE WHEN text IS NULL THEN 0
-                  ELSE len(string_split(text, ' ')) END AS n_tok
+                  ELSE len(string_split(text, ' ')) END AS n_tok,
+             coalesce(last_value(CASE WHEN kind = 'section_header' THEN text END IGNORE NULLS)
+                      OVER (PARTITION BY doc_id ORDER BY "offset"
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), '') AS heading
       FROM exp
     ),
+    pieces AS (
+      SELECT doc_id, "offset", heading, piece_i,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE array_to_string(list_slice(string_split(text, ' '),
+                         CAST(piece_i*{_B}+1 AS INTEGER),
+                         CAST(least((piece_i+1)*{_B}, n_tok) AS INTEGER)), ' ') END AS p_text,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE least({_B}, n_tok - piece_i*{_B}) END AS p_tok
+      FROM (
+        SELECT *, unnest(range(greatest(CAST(ceil(n_tok / {_B}.0) AS BIGINT), 1))) AS piece_i
+        FROM sp
+      )
+    ),
     cum AS (
-      SELECT doc_id, "offset", text, n_tok,
-             CAST(coalesce(sum(n_tok) OVER (
-               PARTITION BY doc_id ORDER BY "offset"
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {DEFAULT_BUDGET}
-             AS INTEGER) AS chunk_idx
-      FROM tok
+      SELECT *,
+             CAST(coalesce(sum(p_tok) OVER (
+               PARTITION BY doc_id ORDER BY "offset", piece_i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_B}
+             AS INTEGER) AS chunk_idx,
+             CAST("offset" AS BIGINT) * {_KEY_SHIFT} + piece_i AS ord_key
+      FROM pieces
     )
     SELECT doc_id, chunk_idx,
-           coalesce(string_agg(text, ' ' ORDER BY "offset") FILTER (WHERE text IS NOT NULL), '') AS chunk_text,
-           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-           CAST(count(*) AS BIGINT) AS n_spans
+           arg_min(heading, ord_key) AS heading,
+           coalesce(string_agg(p_text, ' ' ORDER BY ord_key) FILTER (WHERE p_text IS NOT NULL), '') AS chunk_text,
+           CAST(sum(p_tok) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT "offset") AS BIGINT) AS n_spans
     FROM cum GROUP BY doc_id, chunk_idx
 """
 

@@ -47,14 +47,134 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _stage_and_rename_in(df: DataFrame, path: str) -> str:
+    """Write df to a private hidden staging dir under `path`, then rename
+    the part files (commit-unique names) into the table. Hadoop's
+    FileOutputCommitter shares `_temporary/0` across concurrent jobs
+    appending to the same path — two plain `mode("append")` writers
+    corrupt each other's commit — so every append gets its own staging
+    and joins the table via atomic renames. Returns the staging dir it
+    consumed (already removed)."""
+    import shutil
+    import tempfile
+
+    os.makedirs(path, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix=".dfss-stage-", dir=path)
+    df.write.mode("overwrite").parquet(staging)
+    for f in os.listdir(staging):
+        if f.endswith(".parquet"):
+            os.rename(os.path.join(staging, f), os.path.join(path, f))
+    shutil.rmtree(staging)
+    return staging
+
+
 def append_table(df: DataFrame, path: str) -> None:
-    """Atomic append (job-commit). Caller is responsible for having
-    anti-joined committed keys first (idempotent-append discipline)."""
+    """Atomic, concurrent-safe append (private staging + rename-in; see
+    _stage_and_rename_in). Caller is responsible for having anti-joined
+    committed keys first (idempotent-append discipline)."""
     spark = df.sparkSession
     if _has_iceberg(spark) and not path.startswith("/"):
         df.writeTo(path).append()
     else:
-        df.write.mode("append").parquet(path)
+        _stage_and_rename_in(df, path)
+        spark.catalog.refreshByPath(path)
+
+
+def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
+    """MERGE-grade idempotent append: rows whose `key` is already
+    committed are dropped AT COMMIT TIME, so two OVERLAPPING writers can
+    both stage the same document and only one copy becomes visible — the
+    reference's duplicate-job 409 (ocr.py:96-103) and atomic job-store
+    write (queue_manager.py:917-929) as a table protocol. The plain
+    anti-join resume (lineage.anti_join_committed) closes the common
+    case but leaves a read-check-then-append race between its snapshot
+    and the commit; this closes the race.
+
+    Iceberg path: a real `MERGE INTO ... WHEN NOT MATCHED THEN INSERT`
+    (snapshot-isolated, conflict-retried by the catalog).
+
+    Parquet fallback — optimistic commit with a manifest, the same
+    protocol Iceberg runs in its metadata layer:
+      1. stage data files OUTSIDE the lock (parallel write to a
+         dot-prefixed dir Spark readers ignore);
+      2. take the table commit lock (atomic POSIX mkdir, the catalog
+         analog);
+      3. under the lock, diff staged keys against the committed manifest
+         (_commits/*.txt, one key per line); rewrite the staged files
+         without the overlap if any;
+      4. rename the staged part files into the table, then publish the
+         manifest entry via atomic rename;
+      5. release the lock.
+    A crash before (4) leaves only ignored hidden files; a crash during
+    (4) is repaired by the manifest being written last (unmanifested
+    part files belong to the crashed commit and its keys re-merge
+    cleanly on retry because data-file names are commit-unique).
+
+    The manifest key-set scan is driver-side here — the sandbox stand-in
+    for Iceberg's distributed metadata; at 10^12 keys the Iceberg branch
+    is the design and this branch is the semantics contract + test rig.
+    Returns the number of rows actually committed."""
+    import shutil
+    import tempfile
+    import time
+    import uuid as _uuid
+
+    spark = df.sparkSession
+    if _has_iceberg(spark) and not path.startswith("/"):
+        view = f"merge_src_{_uuid.uuid4().hex[:8]}"
+        df.createOrReplaceTempView(view)
+        n = spark.table(view).count()
+        spark.sql(
+            f"MERGE INTO {path} t USING {view} s ON t.{key} = s.{key} "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        return n
+
+    os.makedirs(path, exist_ok=True)
+    commits_dir = os.path.join(path, "_commits")
+    os.makedirs(commits_dir, exist_ok=True)
+    staging = tempfile.mkdtemp(prefix=".dfss-stage-", dir=path)
+    df.write.mode("overwrite").parquet(staging)
+    staged = spark.read.parquet(staging)
+
+    lock = os.path.join(commits_dir, ".lock")
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            time.sleep(0.05)
+    try:
+        committed: set[str] = set()
+        for f in os.listdir(commits_dir):
+            if f.endswith(".txt"):
+                with open(os.path.join(commits_dir, f), encoding="utf-8") as fh:
+                    committed.update(ln for ln in fh.read().splitlines() if ln)
+        staged_ids = {str(r[0]) for r in staged.select(key).distinct().collect()}
+        new_ids = staged_ids - committed
+        if not new_ids:
+            shutil.rmtree(staging)
+            return 0
+        src_dir = staging
+        if staged_ids - new_ids:  # overlap: rewrite without committed keys
+            filtered = tempfile.mkdtemp(prefix=".dfss-stage-", dir=path)
+            ids_df = spark.createDataFrame([(i,) for i in committed], f"{key} string")
+            staged.join(ids_df, key, "left_anti").write.mode("overwrite").parquet(filtered)
+            shutil.rmtree(staging)
+            src_dir = filtered
+        n_rows = spark.read.parquet(src_dir).count()
+        for f in os.listdir(src_dir):
+            if f.endswith(".parquet"):
+                os.rename(os.path.join(src_dir, f), os.path.join(path, f))
+        shutil.rmtree(src_dir)
+        entry_tmp = os.path.join(commits_dir, f".commit-{_uuid.uuid4().hex}.tmp")
+        with open(entry_tmp, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(sorted(new_ids)))
+        os.rename(entry_tmp, entry_tmp.replace(".tmp", ".txt").replace("/.commit-", "/commit-"))
+        spark.catalog.refreshByPath(path)
+        return n_rows
+    finally:
+        os.rmdir(lock)
 
 
 def overwrite_table(df: DataFrame, path: str) -> None:
@@ -65,6 +185,31 @@ def overwrite_table(df: DataFrame, path: str) -> None:
         df.write.mode("overwrite").parquet(path)
 
 
+def _swap_table(spark: SparkSession, path: str, write_staging) -> None:
+    """Replace the table at `path` with whatever `write_staging(dir)`
+    produces, crash-safely: staging is created UNDER THE TABLE'S PARENT
+    (same filesystem, so the swap is two true renames, never a
+    non-atomic cross-device copy), the old table is renamed aside before
+    the new one is renamed in, and the old copy is deleted LAST — a crash
+    at any point leaves either the old or the new table intact and a
+    recoverable `.dfss-old-*` copy on disk. (Round 1 did
+    rmtree(path); move(staging, path) — a crash between the two destroyed
+    the table.)"""
+    import shutil
+    import tempfile
+
+    abs_path = os.path.abspath(path.rstrip("/"))
+    parent = os.path.dirname(abs_path)
+    staging = tempfile.mkdtemp(prefix=".dfss-staging-", dir=parent)
+    write_staging(staging)
+    old = tempfile.mkdtemp(prefix=".dfss-old-", dir=parent)
+    os.rmdir(old)  # reserve a unique same-filesystem name for the rename
+    os.rename(abs_path, old)
+    os.rename(staging, abs_path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(abs_path)
+
+
 def retention_delete(spark: SparkSession, path: str, predicate: str) -> int:
     """Row-level retention delete: drop rows matching `predicate` (SQL
     string), keep the rest — the 24h TTL / JOB_RETENTION_HOURS cleanup of
@@ -72,11 +217,8 @@ def retention_delete(spark: SparkSession, path: str, predicate: str) -> int:
     job_db.py:241-260 `DELETE FROM jobs WHERE created_at < ?`).
 
     Iceberg: `DELETE FROM t WHERE ...` (position deletes + snapshot).
-    Parquet fallback: rewrite keep-side to a staging dir, atomic swap.
+    Parquet fallback: rewrite keep-side to a staging dir, rename swap.
     Returns number of rows deleted."""
-    import shutil
-    import tempfile
-
     df = read_table(spark, path)
     if _has_iceberg(spark) and not path.startswith("/"):
         n = df.filter(predicate).count()
@@ -84,13 +226,14 @@ def retention_delete(spark: SparkSession, path: str, predicate: str) -> int:
         return n
     total = df.count()
     keep = df.filter(f"NOT ({predicate})")
-    staging = tempfile.mkdtemp(prefix="dfss_retention_")
-    keep.write.mode("overwrite").parquet(staging)
-    kept = spark.read.parquet(staging).count()
-    shutil.rmtree(path)
-    shutil.move(staging, path)
-    spark.catalog.refreshByPath(path)
-    return total - kept
+    kept_box = {}
+
+    def _write(staging: str) -> None:
+        keep.write.mode("overwrite").parquet(staging)
+        kept_box["n"] = spark.read.parquet(staging).count()
+
+    _swap_table(spark, path, _write)
+    return total - kept_box["n"]
 
 
 def compact_table(spark: SparkSession, path: str, target_files: int) -> int:
@@ -99,15 +242,13 @@ def compact_table(spark: SparkSession, path: str, target_files: int) -> int:
     rewrite_data_files). Rewrites the table into `target_files` files.
     Returns the new file count."""
     import os as _os
-    import shutil
-    import tempfile
 
     df = read_table(spark, path)
-    staging = tempfile.mkdtemp(prefix="dfss_compact_")
-    df.coalesce(target_files).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    shutil.move(staging, path)
-    spark.catalog.refreshByPath(path)
+    _swap_table(
+        spark,
+        path,
+        lambda staging: df.coalesce(target_files).write.mode("overwrite").parquet(staging),
+    )
     return sum(1 for f in _os.listdir(path) if f.endswith(".parquet"))
 
 

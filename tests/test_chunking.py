@@ -1,0 +1,75 @@
+"""HybridChunker fidelity contracts (pdf_processor.py:44-69): heading
+context propagation, oversize-span splitting, whole-doc fallback."""
+
+from pyspark.sql import functions as F
+
+from docling_fast_server_spark.operators.chunking import chunk_spans
+
+
+def _doc(spark, doc_id, spans):
+    rows = [
+        (doc_id, [
+            {"kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m) in enumerate(spans)
+        ])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+def test_heading_context_propagates(spark):
+    df = _doc(
+        spark,
+        "d1",
+        [
+            ("section_header", "INTRO", None),
+            ("text", "one two three", None),
+            ("section_header", "METHODS", None),
+            ("text", "four five six", None),
+        ],
+    )
+    chunks = {r["chunk_idx"]: r for r in chunk_spans(df, budget=5).collect()}
+    # chunk 0 starts under INTRO; the chunk crossing METHODS starts there
+    assert chunks[0]["heading"] == "INTRO"
+    assert any(r["heading"] == "METHODS" for r in chunks.values())
+
+
+def test_oversize_span_splits(spark):
+    long_text = " ".join(f"w{i}" for i in range(23))
+    df = _doc(spark, "d1", [("text", long_text, None)])
+    rows = sorted(chunk_spans(df, budget=8).collect(), key=lambda r: r["chunk_idx"])
+    # 23 tokens / budget 8 -> chunks of 8, 8, 7
+    assert [r["n_tokens"] for r in rows] == [8, 8, 7]
+    assert " ".join(r["chunk_text"] for r in rows) == long_text
+    # all three chunks reference the single source span
+    assert all(r["n_spans"] == 1 for r in rows)
+
+
+def test_whole_doc_fallback_on_empty_spans(spark):
+    df = _doc(spark, "failed-doc", [])
+    rows = chunk_spans(df, budget=8).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_id"], r["chunk_idx"], r["heading"], r["chunk_text"]) == (
+        "failed-doc", 0, "", "",
+    )
+    assert (r["n_tokens"], r["n_spans"]) == (0, 0)
+
+
+def test_media_spans_kept_but_textless(spark):
+    df = _doc(
+        spark,
+        "d1",
+        [
+            ("text", "a b", None),
+            ("picture", None, "media://1/img/0"),
+            ("text", "c d", None),
+        ],
+    )
+    rows = chunk_spans(df, budget=40).collect()
+    assert len(rows) == 1
+    assert rows[0]["chunk_text"] == "a b c d"
+    assert rows[0]["n_spans"] == 3
+    assert rows[0]["n_tokens"] == 4
