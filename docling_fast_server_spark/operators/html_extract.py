@@ -51,6 +51,9 @@ _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 _LINK_DENSITY_MAX = 0.33
 _CAPS_RATIO_MAX = 0.6
 _CAPS_SHORT_WORDS = 20
+# bare containers that shouty ad/chrome text typically lives in; semantic
+# content elements (p, dl, table, pre, ...) are never caps-screened
+_CHROME_CANDIDATE_TAGS = {"div", "ul", "ol"}
 
 
 class _Node:
@@ -137,7 +140,12 @@ def _is_boilerplate(node: _Node, text: str, is_heading: bool) -> bool:
         return True
     if _link_chars(node) / n_chars > _LINK_DENSITY_MAX:
         return True
-    if not is_heading:
+    # The caps-ratio screen targets shouty chrome ("BUY NOW! CLICK HERE!")
+    # that escapes the furniture subtrees. Apply it ONLY to structural
+    # chrome candidates (bare div/ul/ol containers) — a short acronym-
+    # heavy <p>, <dl> or table cell inside <main> is real content and the
+    # exact-span contract must keep it (ADVICE r01).
+    if not is_heading and node.tag in _CHROME_CANDIDATE_TAGS:
         words = text.split()
         if len(words) < _CAPS_SHORT_WORDS and _caps_ratio(text) > _CAPS_RATIO_MAX:
             return True
@@ -282,31 +290,23 @@ def extract_html_document(doc_id: str, html: str) -> list[dict]:
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = []
+        ids, spans_col, methods, errors = [], [], [], []
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             html_parts = [
                 s["text"] for s in spans if s["kind"] == "html" and s["text"]
             ]
             try:
                 out = extract_html_document(doc_id, "\n".join(html_parts))
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "spans": out,
-                        "conversion_method": METHOD_DEFAULT,
-                        "error": None,
-                    }
-                )
+                method, err = METHOD_DEFAULT, None
             except Exception as e:  # degrade, never die (K10 discipline)
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "spans": [],
-                        "conversion_method": METHOD_FAILED,
-                        "error": str(e)[:500],
-                    }
-                )
-        yield pd.DataFrame(rows, columns=["doc_id", "spans", "conversion_method", "error"])
+                out, method, err = [], METHOD_FAILED, str(e)[:500]
+            ids.append(doc_id)
+            spans_col.append(out)
+            methods.append(method)
+            errors.append(err)
+        yield pd.DataFrame(
+            {"doc_id": ids, "spans": spans_col, "conversion_method": methods, "error": errors}
+        )
 
 
 def extract_html(df):

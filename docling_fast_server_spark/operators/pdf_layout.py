@@ -117,28 +117,20 @@ def extract_pdf_document(raw_spans) -> tuple[list[dict], str]:
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = []
+        ids, spans_col, methods, errors = [], [], [], []
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             try:
                 out, method = extract_pdf_document(spans)
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "spans": out,
-                        "conversion_method": method,
-                        "error": None,
-                    }
-                )
+                err = None
             except Exception as e:
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "spans": [],
-                        "conversion_method": METHOD_FAILED,
-                        "error": str(e)[:500],
-                    }
-                )
-        yield pd.DataFrame(rows, columns=["doc_id", "spans", "conversion_method", "error"])
+                out, method, err = [], METHOD_FAILED, str(e)[:500]
+            ids.append(doc_id)
+            spans_col.append(out)
+            methods.append(method)
+            errors.append(err)
+        yield pd.DataFrame(
+            {"doc_id": ids, "spans": spans_col, "conversion_method": methods, "error": errors}
+        )
 
 
 def extract_pdf(df):

@@ -29,8 +29,14 @@ from .corpus import (
     TBL_REM,
 )
 
-# maximum paragraphs per doc: documents.text <= ~600 chars -> < 64 paras.
-_MAX_PARAS = 256
+# Maximum paragraphs per document assumed by every unnest(range(...))
+# paragraph generator in the oracle SQL (here and in queries.py, which
+# imports this constant). A document beyond the cap would silently
+# diverge from the Spark side, so tests/test_oracle_parity.py asserts
+# max(n_paras) < MAX_PARAS against the live sf dir. documents.text is
+# ~600 chars -> < 64 paras; 256 leaves 4x headroom.
+MAX_PARAS = 256
+_MAX_PARAS = MAX_PARAS  # back-compat alias
 
 
 def expected_spans_sql(which: str = "all") -> str:

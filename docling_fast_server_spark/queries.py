@@ -17,7 +17,7 @@ from .operators.chunking import DEFAULT_BUDGET, chunk_spans
 from .operators.exports import with_exports
 from .operators.html_extract import extract_html
 from .operators.pdf_layout import extract_pdf
-from .oracle import expected_spans_sql
+from .oracle import MAX_PARAS, expected_spans_sql
 
 
 def _exploded(df):
@@ -79,7 +79,7 @@ ORACLE_CONVERSION_METHODS = f"""
              max(CASE WHEN (s.doc_id + i) % {PIC_MOD} = 0
                        OR (s.doc_id + i) % {TBL_MOD} = {TBL_REM}
                       THEN 1 ELSE 0 END) AS has_media
-      FROM src s, unnest(range(256)) AS u(i)
+      FROM src s, unnest(range({MAX_PARAS})) AS u(i)
       WHERE u.i < s.np
       GROUP BY s.doc_id
     )
@@ -217,6 +217,130 @@ ORACLE_CHUNKS = f"""
 """
 
 
+# ---------------------------------------------------------------------------
+# pipeline-ops queries — lineage (S7/A4) and compaction (S5/A5) as
+# oracle-gated rows: each RUNS the real pipeline machinery against a
+# scratch table and returns facts the DuckDB oracle derives independently
+# from documents.parquet + the corpus spec.
+# ---------------------------------------------------------------------------
+def q_lineage_run_summary(spark, sf_dir):
+    """Run a full extraction into scratch, then aggregate its lineage
+    table to run level (the job-store audit of job_db.py:100-121 /
+    queue_manager.py:366-401). Every value is a pure function of the
+    corpus spec, so the oracle reproduces doc/span/method/char totals
+    without seeing the run."""
+    import tempfile
+
+    from .plans.pipeline import run_extraction
+
+    tmp = tempfile.mkdtemp(prefix="dfss_lineageq_")
+    raw = docs_raw(spark, sf_dir, which="all")
+    run_extraction(spark, raw, f"{tmp}/out", f"{tmp}/lineage", run_id="oracle-run")
+    lin = spark.read.parquet(f"{tmp}/lineage")
+    return lin.groupBy("run_id").agg(
+        F.sum("doc_count").cast("long").alias("n_docs"),
+        F.sum("span_count").cast("long").alias("n_spans"),
+        F.sum("error_count").cast("long").alias("n_errors"),
+        F.sum("method_default").cast("long").alias("n_default"),
+        F.sum("method_limited").cast("long").alias("n_limited"),
+        F.sum("total_characters").cast("long").alias("n_chars"),
+    )
+
+
+# limited iff pdf doc, degraded id, AND the doc has media items — the
+# degradation is error-driven (corrupt media prov), so media-free docs
+# never hit the corrupt payload (same flags logic as conversion_methods)
+ORACLE_LINEAGE_RUN_SUMMARY = f"""
+    WITH exp AS ({expected_spans_sql("all")}),
+    src AS (
+      SELECT doc_id, (len(string_split(text, ' ')) + 9) // 10 AS np
+      FROM documents
+    ),
+    flags AS (
+      SELECT s.doc_id,
+             max(CASE WHEN (s.doc_id + i) % {PIC_MOD} = 0
+                       OR (s.doc_id + i) % {TBL_MOD} = {TBL_REM}
+                      THEN 1 ELSE 0 END) AS has_media
+      FROM src s, unnest(range({MAX_PARAS})) AS u(i)
+      WHERE u.i < s.np
+      GROUP BY s.doc_id
+    ),
+    methods AS (
+      SELECT CAST(sum(CASE WHEN doc_id % 2 = 1 AND doc_id % {DEGRADED_MOD} = 0
+                            AND has_media = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_limited,
+             CAST(sum(CASE WHEN doc_id % 2 = 1 AND doc_id % {DEGRADED_MOD} = 0
+                            AND has_media = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_default
+      FROM flags
+    )
+    SELECT 'oracle-run' AS run_id,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+           (SELECT CAST(count(*) AS BIGINT) FROM exp) AS n_spans,
+           CAST(0 AS BIGINT) AS n_errors,
+           methods.n_default,
+           methods.n_limited,
+           (SELECT CAST(sum(coalesce(length(text), 0)) AS BIGINT) FROM exp) AS n_chars
+    FROM methods
+"""
+
+
+def q_compaction_stats(spark, sf_dir):
+    """S5 compaction + A5 storage stats as an auditable fact row: write
+    the documents table as 16 files, compact to 4, report file counts and
+    row preservation (the archive-rotation invariant of
+    queue_manager.py:443-469: fewer files, nothing lost)."""
+    import tempfile
+
+    from .sources.io import compact_table, table_stats
+
+    tmp = tempfile.mkdtemp(prefix="dfss_compactq_")
+    path = f"{tmp}/t"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(16).write.mode("overwrite").parquet(path)
+    files_before = table_stats(path)["n_files"]
+    rows_before = spark.read.parquet(path).count()
+    files_after = compact_table(spark, path, 4)
+    rows_after = spark.read.parquet(path).count()
+    return spark.createDataFrame(
+        [(files_before, rows_before, files_after, rows_after)],
+        "n_files_before long, n_rows_before long, n_files_after long, n_rows_after long",
+    )
+
+
+ORACLE_COMPACTION_STATS = """
+    SELECT CAST(16 AS BIGINT) AS n_files_before,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows_before,
+           CAST(4 AS BIGINT) AS n_files_after,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows_after
+"""
+
+
+def q_retention_sweep(spark, sf_dir):
+    """S8 row-level retention DELETE as an oracle row: materialize the
+    documents table, delete the doc_id % 5 == 0 band (the age predicate
+    analog of job_db.py:241-260), return what survives per band."""
+    import tempfile
+
+    from .sources.io import retention_delete
+
+    tmp = tempfile.mkdtemp(prefix="dfss_retainq_")
+    path = f"{tmp}/t"
+    spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode("overwrite").parquet(path)
+    n_deleted = retention_delete(spark, path, "doc_id % 5 = 0")
+    kept = spark.read.parquet(path)
+    return kept.groupBy((F.col("doc_id") % 5).cast("long").alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.lit(n_deleted).cast("long").alias("n_deleted"),
+    )
+
+
+ORACLE_RETENTION_SWEEP = """
+    SELECT CAST(doc_id % 5 AS BIGINT) AS band,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 5 = 0) AS n_deleted
+    FROM documents WHERE doc_id % 5 != 0 GROUP BY doc_id % 5
+"""
+
+
 EXTRACTION_QUERIES = {
     "extract_html_spans": q_extract_html_spans,
     "extract_pdf_spans": q_extract_pdf_spans,
@@ -228,6 +352,9 @@ EXTRACTION_QUERIES = {
     "export_doctags": q_export_doctags,
     "export_json": q_export_json,
     "chunks": q_chunks,
+    "lineage_run_summary": q_lineage_run_summary,
+    "compaction_stats": q_compaction_stats,
+    "retention_sweep": q_retention_sweep,
 }
 
 EXTRACTION_ORACLES = {
@@ -241,6 +368,9 @@ EXTRACTION_ORACLES = {
     "export_doctags": ORACLE_EXPORT_DOCTAGS,
     "export_json": ORACLE_EXPORT_JSON,
     "chunks": ORACLE_CHUNKS,
+    "lineage_run_summary": ORACLE_LINEAGE_RUN_SUMMARY,
+    "compaction_stats": ORACLE_COMPACTION_STATS,
+    "retention_sweep": ORACLE_RETENTION_SWEEP,
 }
 
 

@@ -125,11 +125,13 @@ def unpack_cells(buf: bytes) -> list[dict]:
 
 def _pack_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        rows = []
+        ids, payloads, sizes = [], [], []
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             payload = pack_cells(list(spans))
-            rows.append({"doc_id": doc_id, "payload": payload, "n_bytes": len(payload)})
-        yield pd.DataFrame(rows, columns=["doc_id", "payload", "n_bytes"])
+            ids.append(doc_id)
+            payloads.append(payload)
+            sizes.append(len(payload))
+        yield pd.DataFrame({"doc_id": ids, "payload": payloads, "n_bytes": sizes})
 
 
 def pack_raw(df: DataFrame) -> DataFrame:
@@ -145,7 +147,7 @@ def _extract_binary_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
     from ..operators.pdf_layout import extract_pdf_document
 
     for pdf in batches:
-        rows = []
+        ids, spans_col, methods, errors = [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             try:
                 spans = unpack_cells(bytes(payload))
@@ -154,22 +156,19 @@ def _extract_binary_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                         s["text"] for s in spans if s["kind"] == RAW_HTML and s["text"]
                     )
                     out = extract_html_document(doc_id, html)
-                    method = METHOD_DEFAULT
+                    method, err = METHOD_DEFAULT, None
                 else:
                     out, method = extract_pdf_document(spans)
-                rows.append(
-                    {"doc_id": doc_id, "spans": out, "conversion_method": method, "error": None}
-                )
+                    err = None
             except Exception as e:
-                rows.append(
-                    {
-                        "doc_id": doc_id,
-                        "spans": [],
-                        "conversion_method": METHOD_FAILED,
-                        "error": str(e)[:500],
-                    }
-                )
-        yield pd.DataFrame(rows, columns=["doc_id", "spans", "conversion_method", "error"])
+                out, method, err = [], METHOD_FAILED, str(e)[:500]
+            ids.append(doc_id)
+            spans_col.append(out)
+            methods.append(method)
+            errors.append(err)
+        yield pd.DataFrame(
+            {"doc_id": ids, "spans": spans_col, "conversion_method": methods, "error": errors}
+        )
 
 
 def extract_binary(df: DataFrame) -> DataFrame:

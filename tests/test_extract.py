@@ -93,3 +93,21 @@ def test_extract_dataframes_roundtrip(spark, sf_dir):
     rows = extract_pdf(raw_pdf).collect()
     assert len(rows) == 20
     assert all(r["conversion_method"] in ("default", "limited") for r in rows)
+
+
+def test_caps_screen_spares_semantic_content():
+    """A short acronym-heavy paragraph inside <main> is real content and
+    must survive; the caps screen applies only to bare chrome containers
+    (div/ul/ol) — ADVICE r01."""
+    from docling_fast_server_spark.operators.html_extract import extract_html_document
+
+    html = (
+        "<html><body><main>"
+        "<p>NASA ESA JAXA MOU FAQ</p>"
+        "<div>BUY NOW! LIMITED OFFER! CLICK HERE!</div>"
+        "</main></body></html>"
+    )
+    spans = extract_html_document("doc-000002", html)
+    texts = [s["text"] for s in spans]
+    assert "NASA ESA JAXA MOU FAQ" in texts
+    assert all("BUY NOW" not in (t or "") for t in texts)

@@ -64,3 +64,21 @@ def test_query_matches_oracle(spark, sf_dir, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_paragraph_cap_holds(sf_dir):
+    """Every oracle paragraph generator unnests range(MAX_PARAS); a doc
+    beyond the cap would silently diverge from the Spark side, so assert
+    the live corpus stays under it (ADVICE r01)."""
+    import duckdb
+
+    from docling_fast_server_spark.corpus import PARA_WORDS
+    from docling_fast_server_spark.oracle import MAX_PARAS
+
+    con = duckdb.connect()
+    (max_paras,) = con.execute(
+        f"SELECT max((len(string_split(text, ' ')) + {PARA_WORDS - 1}) // {PARA_WORDS}) "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    con.close()
+    assert max_paras < MAX_PARAS, (max_paras, MAX_PARAS)

@@ -64,3 +64,39 @@ def test_region_revenue_broadcasts_dims(spark, sf_dir):
 
     plan = _plan(q_region_revenue(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2  # nation + region at minimum
+
+
+def test_fingerprint_plan_is_narrow(spark, sf_dir):
+    """ts_fingerprint must be ONE narrow projection: no Exchange, no
+    Window (round 1 funneled every distinct word through an unpartitioned
+    dense_rank window), no Python eval."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["ts_fingerprint"](spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_minhash_plan_has_no_dictionary(spark, sf_dir):
+    """dedup_minhash signatures are narrow higher-order projections: the
+    plan must contain NO Window (rank dictionary is gone) and no
+    broadcast of a distinct-shingle relation; the hash-set spread
+    repartition plus band/verify joins are the only wide ops."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["dedup_minhash"](spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan
+    assert "HashAggregate" in plan  # verify-stage counts
+
+
+def test_binary_extraction_plan_is_shuffle_free(spark, sf_dir):
+    """The bytes path (pack -> parse -> extract) stays a single narrow
+    pipeline like the structured path."""
+    from docling_fast_server_spark.corpus import docs_raw
+    from docling_fast_server_spark.sources.binary_pack import extract_binary, pack_raw
+
+    plan = _plan(extract_binary(pack_raw(docs_raw(spark, sf_dir))))
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 3  # datagen, pack, parse+extract

@@ -134,3 +134,26 @@ def test_chunker_partition_property(spark, sf_dir):
     over = chunks.filter(F.col("n_tokens") > DEFAULT_BUDGET + 60).count()
     assert over == 0
     extracted.unpersist()
+
+
+def test_ann_lsh_recall_vs_brute(spark, sf_dir):
+    """Multi-band OR-construction recall: the ANN top-3 must recover most
+    of the exact top-3 (nearest vectors are bucket-collision-likely by
+    construction). Reported per round in BENCH/BASELINE.md."""
+    from docling_fast_server_spark.operators.similarity import (
+        ANN_TOPK,
+        q_sim_ann_lsh,
+        q_sim_topk_brute,
+    )
+
+    brute = {
+        (r["q_id"], r["neighbor_id"])
+        for r in q_sim_topk_brute(spark, sf_dir).collect()
+        if r["rank"] <= ANN_TOPK
+    }
+    ann = {
+        (r["q_id"], r["neighbor_id"]) for r in q_sim_ann_lsh(spark, sf_dir).collect()
+    }
+    recall = len(brute & ann) / len(brute)
+    print(f"ann_lsh recall@{ANN_TOPK} = {recall:.3f}")
+    assert recall >= 0.6, recall
