@@ -547,8 +547,70 @@ def _oracle_dedup_embedding() -> str:
 ORACLE_DEDUP_EMBEDDING = _oracle_dedup_embedding()
 
 
+# ---------------------------------------------------------------------------
+# n-gram Jaccard on a deterministic pair set (the verify stage standalone)
+# ---------------------------------------------------------------------------
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact shingle-hash-set Jaccard for every (base, mutated-copy) pair
+    — the LSH verify stage as a standalone operator over an explicit pair
+    list (the shape used when candidate pairs come from elsewhere: a
+    prior run, an external blocker, a human queue). One shuffle join per
+    side on the int64 hash; never all-pairs."""
+    corpus = mutated_corpus(spark, sf_dir)
+    hsdf = _doc_hashsets(corpus).persist()
+    pairs = (
+        hsdf.filter((F.col("doc_id") >= NEAR_STEP) & (F.col("doc_id") < EXACT_STEP))
+        .select(
+            (F.col("doc_id") - NEAR_STEP).alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+        )
+    )
+    rk = hsdf.select("doc_id", F.explode("hs").alias("r"))
+    sizes = hsdf.select("doc_id", F.size("hs").cast("long").alias("n"))
+    shared = (
+        pairs.join(rk.select(F.col("doc_id").alias("doc_a"), "r"), "doc_a")
+        .join(rk.select(F.col("doc_id").alias("doc_b"), "r"), ["doc_b", "r"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 4).alias("jaccard"),
+        )
+    )
+
+
+ORACLE_DEDUP_NGRAM_JACCARD = f"""
+    WITH corpus AS ({MUTATED_SQL}),
+    hsets AS ({HASHSETS_SQL}),
+    pairs AS (
+        SELECT doc_id - {NEAR_STEP} AS doc_a, doc_id AS doc_b
+        FROM hsets WHERE doc_id >= {NEAR_STEP} AND doc_id < {EXACT_STEP}
+    ),
+    rk AS (SELECT doc_id, unnest(hs) AS r FROM hsets),
+    sizes AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM hsets),
+    shared AS (
+        SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_shared
+        FROM pairs p
+        JOIN rk sa ON sa.doc_id = p.doc_a
+        JOIN rk sb ON sb.doc_id = p.doc_b AND sb.r = sa.r
+        GROUP BY p.doc_a, p.doc_b
+    )
+    SELECT s.doc_a, s.doc_b,
+           round(CAST(s.n_shared AS DOUBLE) / (za.n + zb.n - s.n_shared), 4) AS jaccard
+    FROM shared s
+    JOIN sizes za ON za.doc_id = s.doc_a
+    JOIN sizes zb ON zb.doc_id = s.doc_b
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -557,6 +619,7 @@ QUERIES = {
 
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,

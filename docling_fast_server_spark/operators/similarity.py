@@ -231,11 +231,106 @@ ORACLE_SIM_ANN_LSH = f"""
 """
 
 
+IVF_CENTROID_MOD = 37  # vectors with vec_id % 37 == 1 are the centroids
+# (~n/37 cells — the deterministic stand-in for a k-means codebook; at
+# scale the codebook is a trained side table, same plan shape)
+IVF_NPROBE = 4  # query searches its top-4 cells — the standard IVF
+# recall knob (single-probe on near-uniform vectors recalls ~0.07;
+# nprobe=4 ≈ 0.3 at ~30% scan share; clustered real data needs fewer)
+
+
+def q_sim_ann_ivf(spark, sf_dir):
+    """IVF-flat approximate top-k: assign every vector to its
+    nearest-centroid cell (argmax cosine over a BROADCAST codebook — one
+    narrow pass), then search the query's IVF_NPROBE closest cells (one
+    shuffle on cell id). The second ANN strategy next to the hyperplane
+    LSH: IVF gives data-adaptive cells where LSH gives data-oblivious
+    ones. Output (q_id, neighbor_id, rank, cos_sim); oracle reproduces
+    the cells exactly, so results match bit-for-bit."""
+    vecs = _vecs(spark, sf_dir).repartition(F.col("vec_id"))
+    cent = vecs.filter(F.col("vec_id") % IVF_CENTROID_MOD == 1).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    assign = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "c_id",
+        F.round(_cos(F.col("v"), F.col("cv")), 6).alias("csim"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id").asc())
+    ranked_cells = assign.withColumn("rn", F.row_number().over(wa))
+    cells = ranked_cells.filter(F.col("rn") == 1).select(
+        "vec_id", "v", F.col("c_id").alias("cell")
+    )
+    queries = (
+        ranked_cells.filter(
+            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("rn") <= IVF_NPROBE)
+        )
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("c_id").alias("cell"))
+    )
+    scored = (
+        cells.join(F.broadcast(queries), "cell")
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cos(F.col("qv"), F.col("v")), 3).alias("cos3"),
+        )
+        .distinct()  # a neighbor sits in ONE cell, but keep the pair-dedup
+        # explicit for the nprobe>cell-count edge
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= ANN_TOPK)
+        .select("q_id", "neighbor_id", "rank", F.col("cos3").alias("cos_sim"))
+    )
+
+
+ORACLE_SIM_ANN_IVF = f"""
+    WITH vecs AS (
+        SELECT vec_id, list_transform(embedding, e -> CAST(e AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS c_id, v AS cv FROM vecs WHERE vec_id % {IVF_CENTROID_MOD} = 1),
+    assign AS (
+        SELECT x.vec_id, x.v, c.c_id,
+               round(list_dot_product(x.v, c.cv) /
+                     (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS csim
+        FROM vecs x, cent c
+    ),
+    ranked_cells AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS rn
+        FROM assign
+    ),
+    cells AS (SELECT vec_id, v, c_id AS cell FROM ranked_cells WHERE rn = 1),
+    queries AS (
+        SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM ranked_cells
+        WHERE vec_id % {QUERY_MOD} = 0 AND rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+        SELECT DISTINCT q.q_id, x.vec_id AS neighbor_id,
+               round(list_dot_product(q.qv, x.v) /
+                     (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(x.v, x.v))), 3) AS cos3
+        FROM cells x JOIN queries q ON x.cell = q.cell AND x.vec_id != q.q_id
+    ),
+    ranked AS (
+        SELECT q_id, neighbor_id, cos3,
+               CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos3 DESC, neighbor_id ASC) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT q_id, neighbor_id, rank, cos3 AS cos_sim
+    FROM ranked WHERE rank <= {ANN_TOPK}
+"""
+
+
 QUERIES = {
     "sim_topk_brute": q_sim_topk_brute,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "sim_ann_ivf": q_sim_ann_ivf,
 }
 ORACLES = {
     "sim_topk_brute": ORACLE_SIM_TOPK_BRUTE,
     "sim_ann_lsh": ORACLE_SIM_ANN_LSH,
+    "sim_ann_ivf": ORACLE_SIM_ANN_IVF,
 }

@@ -38,17 +38,28 @@ def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# BPE-ish subword proxy: alnum runs + each punctuation mark its own token
+# (the pre-tokenization split every BPE vocabulary starts from). Same RE
+# semantics in Java regex and DuckDB RE2 for this character-class-only
+# pattern — verified 17 == 17 on a mixed punctuation probe.
+BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+
 def q_token_count(spark, sf_dir):
     w = F.split(F.col("text"), " ")
     return _docs(spark, sf_dir).select(
         "doc_id",
         F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_bpe"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
 
 
-ORACLE_TOKEN_COUNT = """
+ORACLE_TOKEN_COUNT = f"""
     SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_tokens_bpe,
            CAST(length(text) AS BIGINT) AS n_chars_actual
     FROM documents
 """

@@ -157,3 +157,14 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     recall = len(brute & ann) / len(brute)
     print(f"ann_lsh recall@{ANN_TOPK} = {recall:.3f}")
     assert recall >= 0.6, recall
+
+    from docling_fast_server_spark.operators.similarity import q_sim_ann_ivf
+
+    ivf = {
+        (r["q_id"], r["neighbor_id"]) for r in q_sim_ann_ivf(spark, sf_dir).collect()
+    }
+    ivf_recall = len(brute & ivf) / len(brute)
+    print(f"ann_ivf recall@{ANN_TOPK} = {ivf_recall:.3f}")
+    # single-cell IVF over near-uniform vectors is the IVF worst case too;
+    # nprobe>1 is the production recall knob
+    assert ivf_recall >= 0.2, ivf_recall
