@@ -80,6 +80,130 @@ def append_table(df: DataFrame, path: str) -> None:
         spark.catalog.refreshByPath(path)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _commit_lock(commits_dir: str):
+    """Table commit lock: atomic POSIX mkdir (the catalog analog)."""
+    import time
+
+    lock = os.path.join(commits_dir, ".lock")
+    while True:
+        try:
+            os.mkdir(lock)
+            break
+        except FileExistsError:
+            time.sleep(0.05)
+    try:
+        yield
+    finally:
+        os.rmdir(lock)
+
+
+def _read_manifests(commits_dir: str) -> list[dict]:
+    """All commit manifests, ordered by sequence number."""
+    import json
+
+    entries = []
+    if os.path.isdir(commits_dir):
+        for f in os.listdir(commits_dir):
+            if f.startswith("commit-") and f.endswith(".json"):
+                with open(os.path.join(commits_dir, f), encoding="utf-8") as fh:
+                    e = json.load(fh)
+                e["_manifest_file"] = f
+                entries.append(e)
+    return sorted(entries, key=lambda e: e["seq"])
+
+
+def _write_manifest(commits_dir: str, entry: dict) -> None:
+    """Publish a manifest entry via atomic rename (written LAST, so
+    unmanifested data files always belong to an uncommitted writer)."""
+    import json
+
+    tmp = os.path.join(commits_dir, f".commit-{entry['commit_id']}.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(entry, fh)
+    os.rename(tmp, os.path.join(commits_dir, f"commit-{entry['seq']:08d}-{entry['commit_id']}.json"))
+
+
+def list_snapshots(path: str) -> list[dict]:
+    """Commit history of a merge-committed table — the Iceberg snapshot
+    log analog (`SELECT * FROM t.snapshots`). One row per commit:
+    (seq, commit_id, n_files, n_keys)."""
+    return [
+        {
+            "seq": e["seq"],
+            "commit_id": e["commit_id"],
+            "n_files": len(e["files"]),
+            "n_keys": len(e["keys"]),
+        }
+        for e in _read_manifests(os.path.join(path, "_commits"))
+    ]
+
+
+def read_table_asof(spark: SparkSession, path: str, seq: int) -> DataFrame:
+    """Time travel: the table as of commit `seq` — the Iceberg
+    `VERSION AS OF` analog. Reads exactly the data files published by
+    commits <= seq (files from later commits, uncommitted writers, or
+    non-merge appends are excluded)."""
+    files = [
+        os.path.join(path, f)
+        for e in _read_manifests(os.path.join(path, "_commits"))
+        if e["seq"] <= seq
+        for f in e["files"]
+    ]
+    if not files:
+        raise ValueError(f"no committed snapshot at or before seq={seq}")
+    return spark.read.parquet(*files)
+
+
+def rollback_table(spark: SparkSession, path: str, seq: int) -> int:
+    """Roll the table back to commit `seq`: delete the data files AND
+    manifests of every later commit (under the commit lock), so both the
+    live table and the merge key-set reflect the snapshot — a subsequent
+    `run_extraction` resume re-processes exactly the rolled-back
+    documents. The Iceberg `rollback_to_snapshot` analog. Returns the
+    number of commits removed."""
+    commits_dir = os.path.join(path, "_commits")
+    with _commit_lock(commits_dir):
+        doomed = [e for e in _read_manifests(commits_dir) if e["seq"] > seq]
+        for e in doomed:
+            for f in e["files"]:
+                fp = os.path.join(path, f)
+                if os.path.exists(fp):
+                    os.remove(fp)
+            os.remove(os.path.join(commits_dir, e["_manifest_file"]))
+    spark.catalog.refreshByPath(path)
+    return len(doomed)
+
+
+def expire_snapshots(path: str, keep_last: int = 1) -> int:
+    """Compact commit history: merge all but the last `keep_last`
+    manifests into one base manifest (data files untouched, history
+    before the merge point no longer addressable) — the Iceberg
+    `expire_snapshots` analog that bounds metadata growth. Returns the
+    number of manifests merged away."""
+    import uuid as _uuid
+
+    commits_dir = os.path.join(path, "_commits")
+    with _commit_lock(commits_dir):
+        entries = _read_manifests(commits_dir)
+        if len(entries) <= max(keep_last, 1):
+            return 0
+        old = entries[: len(entries) - keep_last] if keep_last > 0 else entries
+        base = {
+            "seq": old[-1]["seq"],
+            "commit_id": _uuid.uuid4().hex[:12],
+            "files": sorted(f for e in old for f in e["files"]),
+            "keys": sorted({k for e in old for k in e["keys"]}),
+        }
+        for e in old:
+            os.remove(os.path.join(commits_dir, e["_manifest_file"]))
+        _write_manifest(commits_dir, base)
+        return len(old)
+
+
 def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
     """MERGE-grade idempotent append: rows whose `key` is already
     committed are dropped AT COMMIT TIME, so two OVERLAPPING writers can
@@ -116,7 +240,6 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
     Returns the number of rows actually committed."""
     import shutil
     import tempfile
-    import time
     import uuid as _uuid
 
     spark = df.sparkSession
@@ -137,19 +260,11 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
     df.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
 
-    lock = os.path.join(commits_dir, ".lock")
-    while True:
-        try:
-            os.mkdir(lock)
-            break
-        except FileExistsError:
-            time.sleep(0.05)
-    try:
+    with _commit_lock(commits_dir):
+        entries = _read_manifests(commits_dir)
         committed: set[str] = set()
-        for f in os.listdir(commits_dir):
-            if f.endswith(".txt"):
-                with open(os.path.join(commits_dir, f), encoding="utf-8") as fh:
-                    committed.update(ln for ln in fh.read().splitlines() if ln)
+        for e in entries:
+            committed.update(e["keys"])
         staged_ids = {str(r[0]) for r in staged.select(key).distinct().collect()}
         new_ids = staged_ids - committed
         if not new_ids:
@@ -163,18 +278,22 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
             shutil.rmtree(staging)
             src_dir = filtered
         n_rows = spark.read.parquet(src_dir).count()
-        for f in os.listdir(src_dir):
-            if f.endswith(".parquet"):
-                os.rename(os.path.join(src_dir, f), os.path.join(path, f))
+        data_files = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
+        for f in data_files:
+            os.rename(os.path.join(src_dir, f), os.path.join(path, f))
         shutil.rmtree(src_dir)
-        entry_tmp = os.path.join(commits_dir, f".commit-{_uuid.uuid4().hex}.tmp")
-        with open(entry_tmp, "w", encoding="utf-8") as fh:
-            fh.write("\n".join(sorted(new_ids)))
-        os.rename(entry_tmp, entry_tmp.replace(".tmp", ".txt").replace("/.commit-", "/commit-"))
+        seq = max((e["seq"] for e in entries), default=0) + 1
+        _write_manifest(
+            commits_dir,
+            {
+                "seq": seq,
+                "commit_id": _uuid.uuid4().hex[:12],
+                "files": sorted(data_files),
+                "keys": sorted(new_ids),
+            },
+        )
         spark.catalog.refreshByPath(path)
         return n_rows
-    finally:
-        os.rmdir(lock)
 
 
 def overwrite_table(df: DataFrame, path: str) -> None:
