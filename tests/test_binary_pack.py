@@ -76,3 +76,40 @@ def test_corrupt_payload_degrades_to_failed_row(spark):
     assert rows["doc-bad"]["conversion_method"] == "failed"
     assert rows["doc-bad"]["spans"] == []
     assert "magic" in rows["doc-bad"]["error"]
+
+
+# ---------------------------------------------------------------------------
+# property-based: round-trip over arbitrary cells; parser never crashes
+# on arbitrary bytes (ValueError or success only)
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _text = st.one_of(st.none(), st.text(max_size=80))
+    _cell = st.fixed_dictionaries(
+        {
+            "kind": st.sampled_from(["html", "pdf_cell", "pdf_image", "pdf_table"]),
+            "text": _text,
+            "media_ref": _text,
+            "offset": st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        }
+    )
+
+    @given(st.lists(_cell, max_size=20))
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_property(cells):
+        assert unpack_cells(pack_cells(cells)) == cells
+
+    @given(st.binary(max_size=200))
+    @settings(max_examples=120, deadline=None)
+    def test_unpack_never_crashes_unexpectedly(buf):
+        try:
+            cells = unpack_cells(buf)
+        except ValueError:
+            return  # the contract: malformed containers raise ValueError
+        # if it parsed, it must round-trip stably
+        assert pack_cells(cells) == buf
+
+except ImportError:  # pragma: no cover
+    pass
