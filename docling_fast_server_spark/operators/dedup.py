@@ -108,11 +108,23 @@ MUTATED_SQL = f"""
 # ---------------------------------------------------------------------------
 def q_dedup_exact(spark, sf_dir):
     """Groups with >1 identical text: (keeper_doc_id, n_docs).
-    At scale: groupBy(xxhash64(text)) first, verify text within group —
-    here text directly since the oracle has no xxhash64."""
+
+    Hash-first two-stage so FULL TEXT never rides a table-wide shuffle:
+    stage 1 groups on the int64 content hash alone (map-side combinable,
+    8-byte keys); only rows whose hash repeats — the duplicate candidates,
+    a vanishing fraction at corpus scale — are joined back and verified
+    with an exact groupBy on text. The oracle reproduces both stages with
+    the same cross-engine hash, so collision behavior is identical."""
+    corpus = mutated_corpus(spark, sf_dir).withColumn("h", poly_hash(F.col("text")))
+    dup_hashes = (
+        corpus.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("h")
+    )
+    cands = corpus.join(dup_hashes, "h")  # AQE broadcasts the tiny hash set
     return (
-        mutated_corpus(spark, sf_dir)
-        .groupBy("text")
+        cands.groupBy("text")
         .agg(
             F.min("doc_id").alias("keeper_doc_id"),
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -122,10 +134,14 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-ORACLE_DEDUP_EXACT = f"""
-    WITH corpus AS ({MUTATED_SQL})
+def _oracle_dedup_exact() -> str:
+    return f"""
+    WITH corpus AS ({MUTATED_SQL}),
+    hashed AS (SELECT doc_id, text, {poly_hash_sql('text')} AS h FROM corpus),
+    dup_hashes AS (SELECT h FROM hashed GROUP BY h HAVING count(*) > 1)
     SELECT min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_docs
-    FROM corpus GROUP BY text HAVING count(*) > 1
+    FROM hashed JOIN dup_hashes USING (h)
+    GROUP BY text HAVING count(*) > 1
 """
 
 
@@ -618,7 +634,7 @@ QUERIES = {
 }
 
 ORACLES = {
-    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_exact": _oracle_dedup_exact(),
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
