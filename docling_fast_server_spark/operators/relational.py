@@ -458,3 +458,60 @@ QUERIES = {
     "size_band": q_size_band,
     "tracked_intersection": q_tracked_intersection,
 }
+
+
+# --- §2.7 grouping sets: ROLLUP over (event_type, user band) — subtotal +
+# grand-total rows in one pass (partial-aggregated, no repeated scans) ------
+def q_rollup_stats(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "user_band", (F.col("user_id") % 10).cast("long")
+    )
+    # exact integer cents: per-row round then integer sum — immune to the
+    # cross-engine .x5 double-rounding boundary a float sum+round can hit
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.rollup("event_type", "user_band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+
+
+# --- batch tumbling windows: 6h event-time buckets via integer epoch
+# arithmetic (deterministic across engines; the batch twin of
+# streaming/metrics.windowed_method_counts) --------------------------------
+WINDOW_S = 6 * 3600
+
+
+def q_event_window_counts(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bucket = (F.floor(F.unix_timestamp("ts") / WINDOW_S) * WINDOW_S).cast("long")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.groupBy(bucket.alias("window_start"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(cents).cast("long").alias("total_cents"),
+    )
+
+
+QUERIES.update(
+    {
+        "rollup_stats": q_rollup_stats,
+        "event_window_counts": q_event_window_counts,
+    }
+)
+
+ORACLES.update(
+    {
+        "rollup_stats": """
+            SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_band,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM events GROUP BY ROLLUP(event_type, user_id % 10)
+        """,
+        "event_window_counts": f"""
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) // {WINDOW_S} * {WINDOW_S} AS window_start,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM events GROUP BY 1, 2
+        """,
+    }
+)
