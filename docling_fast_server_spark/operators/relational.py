@@ -515,3 +515,73 @@ ORACLES.update(
         """,
     }
 )
+
+
+# --- deterministic hash sampling: the reproducible training-data sample
+# (rand() samples differ across runs/retries; a hash sample is a pure
+# function of the key, so every retry, engine and audit sees the same
+# rows — the only sampling that survives task re-execution at scale) -------
+SAMPLE_MIX = 2_654_435_761
+SAMPLE_P = 1_000_003
+SAMPLE_PCT_MOD = 10  # keep ~1/10
+
+
+def q_sample_hash(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    slot = (F.col("doc_id") * SAMPLE_MIX % SAMPLE_P) % SAMPLE_PCT_MOD
+    return (
+        docs.filter(slot == 0)
+        .select("doc_id", F.length("text").cast("long").alias("n_chars"))
+    )
+
+
+# --- exact order statistics: per-group median via row_number (the
+# percentile_disc shape) — an integer row CHOICE, not a float
+# interpolation, so both engines pick the identical element -----------------
+def q_grouped_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = ev.select("event_type", cents.alias("cents"), "event_id")
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    sizes = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.join(sizes, "event_type")
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(
+            "event_type",
+            F.col("cents").alias("median_cents"),
+            F.col("n").cast("long").alias("n_events"),
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "sample_hash": q_sample_hash,
+        "grouped_median": q_grouped_median,
+    }
+)
+
+ORACLES.update(
+    {
+        "sample_hash": f"""
+            SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+            WHERE (doc_id * {SAMPLE_MIX} % {SAMPLE_P}) % {SAMPLE_PCT_MOD} = 0
+        """,
+        "grouped_median": """
+            WITH ranked AS (
+              SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents, event_id,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY CAST(round(value * 100) AS BIGINT), event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events
+            )
+            SELECT event_type, cents AS median_cents, CAST(n AS BIGINT) AS n_events
+            FROM ranked WHERE rn = (n + 1) // 2
+        """,
+    }
+)
