@@ -7,7 +7,9 @@ At corpus scale those become the classic dedup family, implemented
 relationally so every variant is Catalyst-optimized, shuffle-aware and
 exactly reproducible by the DuckDB oracle:
 
-- exact:    hash-groupBy on content, keep min(doc_id) (J1/J2 analog)
+- exact:    hash-first two-stage groupBy (int64 content hash, then exact
+            text verify on repeat-hash candidates only), keep min(doc_id)
+            (J1/J2 analog) — full text never rides a table-wide shuffle
 - minhash:  per-document distinct shingle-hash SET computed entirely with
             higher-order functions (split -> transform -> poly byte hash
             -> array_distinct): a NARROW projection, no explode, no
