@@ -100,3 +100,17 @@ def test_binary_extraction_plan_is_shuffle_free(spark, sf_dir):
     plan = _plan(extract_binary(pack_raw(docs_raw(spark, sf_dir))))
     assert "Exchange" not in plan, plan
     assert plan.count("MapInPandas") == 3  # datagen, pack, parse+extract
+
+
+def test_similarity_topk_pushdown_and_broadcasts(spark, sf_dir):
+    """All three similarity strategies must keep the rank<=k pushdown
+    (WindowGroupLimit) and broadcast their small side; none may add
+    Python evaluation."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in ("sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf"):
+        plan = _plan(qs[name](spark, sf_dir))
+        assert "WindowGroupLimit" in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, name
+        assert "BatchEvalPython" not in plan, name
