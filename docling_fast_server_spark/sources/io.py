@@ -83,9 +83,20 @@ def append_table(df: DataFrame, path: str) -> None:
 from contextlib import contextmanager
 
 
+LOCK_STALE_S = 300  # a holder that hasn't finished in 5 min is dead
+
+
 @contextmanager
 def _commit_lock(commits_dir: str):
-    """Table commit lock: atomic POSIX mkdir (the catalog analog)."""
+    """Table commit lock: atomic POSIX mkdir (the catalog analog).
+
+    Stale-lock recovery: a writer that crashed INSIDE the critical
+    section leaves the lock dir behind; without recovery every later
+    writer spins forever. A lock older than LOCK_STALE_S is stolen
+    (rmdir + retry — the rmdir itself races safely: at most one stealer
+    wins the subsequent mkdir). Safe because the protected section is
+    seconds long and a crashed holder's staged files are invisible until
+    its manifest rename, which by construction never happened."""
     import time
 
     lock = os.path.join(commits_dir, ".lock")
@@ -94,11 +105,20 @@ def _commit_lock(commits_dir: str):
             os.mkdir(lock)
             break
         except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > LOCK_STALE_S:
+                    os.rmdir(lock)
+                    continue
+            except OSError:
+                pass  # lock released or stolen between the checks
             time.sleep(0.05)
     try:
         yield
     finally:
-        os.rmdir(lock)
+        try:
+            os.rmdir(lock)
+        except OSError:  # pragma: no cover — stolen after a stall
+            pass
 
 
 def _read_manifests(commits_dir: str) -> list[dict]:

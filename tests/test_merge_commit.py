@@ -64,3 +64,21 @@ def test_sequential_rerun_still_noop(spark, sf_dir, tmp_path):
     run_extraction(spark, raw, out, lin, run_id="r2")
     assert spark.read.parquet(out).count() == n1
     assert _dup_count(spark, out) == 0
+
+
+def test_stale_lock_is_stolen(spark, tmp_path):
+    """A lock left by a crashed writer must not deadlock the table:
+    locks older than LOCK_STALE_S are stolen and the commit proceeds."""
+    import os
+    import time
+
+    out = str(tmp_path / "t")
+    os.makedirs(os.path.join(out, "_commits"), exist_ok=True)
+    lock = os.path.join(out, "_commits", ".lock")
+    os.mkdir(lock)
+    old = time.time() - 3600
+    os.utime(lock, (old, old))
+    df = spark.createDataFrame([(f"d{i}", i) for i in range(3)], "doc_id string, v int")
+    assert merge_append_table(df, out) == 3
+    assert spark.read.parquet(out).count() == 3
+    assert not os.path.exists(lock)
