@@ -526,9 +526,21 @@ SAMPLE_P = 1_000_003
 SAMPLE_PCT_MOD = 10  # keep ~1/10
 
 
+def sample_slot(col):
+    """Deterministic sampling slot in [0, SAMPLE_PCT_MOD). The mix is
+    pre-reduced mod SAMPLE_P BEFORE the multiply — (id % P) * (MIX % P)
+    < 2^40 — so the slot is identical for ANY doc_id: a raw doc_id * MIX
+    exceeds int64 once doc_id > ~3.5e9, where Spark wraps silently and
+    DuckDB errors (the same bounded-mix discipline as dedup._uhash).
+    Mathematically equal to (doc_id * MIX) % P for every doc_id below the
+    overflow point, so the sample itself is unchanged."""
+    return ((col % SAMPLE_P) * (SAMPLE_MIX % SAMPLE_P) % SAMPLE_P) % SAMPLE_PCT_MOD
+
+
 def q_sample_hash(spark, sf_dir):
+    """Keep the ~1/SAMPLE_PCT_MOD hash sample (see sample_slot)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    slot = (F.col("doc_id") * SAMPLE_MIX % SAMPLE_P) % SAMPLE_PCT_MOD
+    slot = sample_slot(F.col("doc_id"))
     return (
         docs.filter(slot == 0)
         .select("doc_id", F.length("text").cast("long").alias("n_chars"))
@@ -570,7 +582,7 @@ ORACLES.update(
         "sample_hash": f"""
             SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
-            WHERE (doc_id * {SAMPLE_MIX} % {SAMPLE_P}) % {SAMPLE_PCT_MOD} = 0
+            WHERE ((doc_id % {SAMPLE_P}) * {SAMPLE_MIX % SAMPLE_P} % {SAMPLE_P}) % {SAMPLE_PCT_MOD} = 0
         """,
         "grouped_median": """
             WITH ranked AS (

@@ -136,6 +136,44 @@ def test_chunker_partition_property(spark, sf_dir):
     extracted.unpersist()
 
 
+def test_sample_slot_no_overflow_at_corpus_scale(spark):
+    """sample_slot must agree with exact big-int arithmetic AND with
+    DuckDB for doc_ids past the int64 overflow point of the naive
+    doc_id * MIX form (~3.5e9). Probes up to 2^62."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from docling_fast_server_spark.operators.relational import (
+        SAMPLE_MIX,
+        SAMPLE_P,
+        SAMPLE_PCT_MOD,
+        sample_slot,
+    )
+
+    ids = [0, 1, 3_499_999_999, 2**33, 2**33 + 7, 2**40 + 123, 2**62 - 1]
+    want = [(i * SAMPLE_MIX) % SAMPLE_P % SAMPLE_PCT_MOD for i in ids]  # bigint truth
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = [
+        r["slot"]
+        for r in df.select(sample_slot(F.col("doc_id")).alias("slot"))
+        .orderBy("doc_id")  # createDataFrame order is not guaranteed
+        .collect()
+    ]
+    ids_sorted = sorted(ids)
+    want_sorted = [(i * SAMPLE_MIX) % SAMPLE_P % SAMPLE_PCT_MOD for i in ids_sorted]
+    assert got == want_sorted, (got, want_sorted)
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            f"SELECT ((CAST({i} AS BIGINT) % {SAMPLE_P}) * {SAMPLE_MIX % SAMPLE_P} "
+            f"% {SAMPLE_P}) % {SAMPLE_PCT_MOD}"
+        ).fetchone()[0]
+        for i in ids
+    ]
+    con.close()
+    assert duck == want, (duck, want)
+
+
 def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     """Multi-band OR-construction recall: the ANN top-3 must recover most
     of the exact top-3 (nearest vectors are bucket-collision-likely by
