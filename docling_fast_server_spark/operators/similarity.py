@@ -64,18 +64,29 @@ def _cos(a, b):
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
-def q_sim_topk_brute(spark, sf_dir):
-    """Exact cosine top-k: every QUERY_MOD-th vector against the full
+def _rank_topk(scored, k: int):
+    """(q_id, neighbor_id, cos3) -> top-k per query with the coarse-round
+    + id tiebreak rank (WindowGroupLimit pushes the filter into the
+    sort, so no query's full candidate list ever materializes)."""
+    w = Window.partitionBy("q_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "neighbor_id", "rank", F.col("cos3").alias("cos_sim"))
+    )
+
+
+def brute_topk(vecs: DataFrame, query_filter, k: int = TOPK) -> DataFrame:
+    """Exact cosine top-k of every query_filter row against the full
     table. Query side is tiny -> broadcast; the scan side stays
-    partition-parallel. Output (q_id, neighbor_id, rank, cos_sim)."""
-    vecs = _vecs(spark, sf_dir)
-    queries = vecs.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    partition-parallel via the input layout (no repartition — a
+    production table is thousands of splits; the bench materializes the
+    same layout). Output (q_id, neighbor_id, rank, cos_sim)."""
+    queries = vecs.filter(query_filter).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
-    # spread the scan side: the per-pair dot products dominate, and a
-    # small benchmark table is a single row-group (one task) otherwise
     scored = (
-        vecs.repartition(F.col("vec_id")).crossJoin(F.broadcast(queries))
+        vecs.crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
@@ -83,12 +94,11 @@ def q_sim_topk_brute(spark, sf_dir):
             F.round(_cos(F.col("qv"), F.col("v")), 3).alias("cos3"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= TOPK)
-        .select("q_id", "neighbor_id", "rank", F.col("cos3").alias("cos_sim"))
-    )
+    return _rank_topk(scored, k)
+
+
+def q_sim_topk_brute(spark, sf_dir):
+    return brute_topk(_vecs(spark, sf_dir), F.col("vec_id") % QUERY_MOD == 0, TOPK)
 
 
 ORACLE_SIM_TOPK_BRUTE = f"""
@@ -113,17 +123,17 @@ ORACLE_SIM_TOPK_BRUTE = f"""
 """
 
 
-def _planes(spark, n_planes: int) -> DataFrame:
-    """n_planes deterministic integer-valued hyperplanes as array<double>.
-    (p*DIM + d) * MIX stays < 2^42 for any realistic plane count —
-    int64-safe in both engines."""
-    return spark.range(n_planes).select(
-        F.col("id").cast("int").alias("p"),
-        F.transform(
-            F.sequence(F.lit(0), F.lit(DIM - 1)),
-            lambda d: (((F.lit(1) + (F.col("id") * DIM + d) * _MIX) % 97) - 48).cast("double"),
-        ).alias("h"),
-    )
+def plane_values(n_planes: int) -> list[list[float]]:
+    """The n_planes deterministic integer-valued hyperplanes, computed
+    driver-side: h_p[d] = ((1 + (p*DIM+d) * MIX) % 97) - 48. They are
+    pure literals — a few KB for any realistic plane count — so the
+    Spark side embeds them as literal arrays (one narrow projection, no
+    plane table, no join of any kind) while the oracle regenerates the
+    identical values from the same formula (planes_sql)."""
+    return [
+        [float(((1 + (p * DIM + d) * _MIX) % 97) - 48) for d in range(DIM)]
+        for p in range(n_planes)
+    ]
 
 
 def planes_sql(n_planes: int) -> str:
@@ -137,33 +147,34 @@ def planes_sql(n_planes: int) -> str:
 
 def banded_buckets(spark, vecs: DataFrame, bands: int, ppb: int) -> DataFrame:
     """(vec_id, v, band, key): per-band sign-bit LSH key over
-    bands*ppb deterministic hyperplanes. One broadcast of the tiny plane
-    table, one narrow map, one groupBy(vec_id, band) — the whole bucket
-    assignment is a single shuffle regardless of corpus size. Scaling a
-    vector by a positive constant never flips a sign bit, so exact-scaled
-    near-duplicates always share every band key.
+    bands*ppb deterministic hyperplanes — computed in ONE narrow
+    projection. The planes are deterministic literals (plane_values), so
+    every band key is a sum of sign bits of literal-array dot products:
+    no plane table, no crossJoin, no groupBy — ZERO exchanges before the
+    candidate join, at any corpus size. (Round 2 exploded each row
+    x(bands*ppb) against a broadcast plane table and re-grouped on
+    (vec_id, band), shuffling bands*n rows each carrying the full
+    vector.) Scaling a vector by a positive constant never flips a sign
+    bit, so exact-scaled near-duplicates always share every band key."""
+    planes = plane_values(bands * ppb)
 
-    The plane dot products are the CPU-dominant stage, so spread the
-    vectors across all cores first: a small benchmark table arrives as a
-    single parquet row-group (one task) and would serialize them; at
-    production scale the scan is already parallel and AQE coalesces."""
-    vecs = vecs.repartition(F.col("vec_id"))
-    planes = F.broadcast(_planes(spark, bands * ppb))
-    return (
-        vecs.crossJoin(planes)
-        .select(
-            "vec_id",
-            "v",
-            (F.col("p") / ppb).cast("int").alias("band"),
-            F.when(
-                _dot(F.col("v"), F.col("h")) > 0,
-                F.expr(f"shiftleft(1, p % {ppb})"),
-            )
-            .otherwise(0)
-            .alias("bit"),
+    def _key(b: int):
+        key = F.lit(0)
+        for j in range(ppb):
+            arr = F.array(*[F.lit(w) for w in planes[b * ppb + j]])
+            key = key + F.when(_dot(F.col("v"), arr) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        return key.cast("int")
+
+    bk = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(b).cast("int").alias("band"), _key(b).alias("key"))
+                for b in range(bands)
+            ]
         )
-        .groupBy("vec_id", "band")
-        .agg(F.first("v").alias("v"), F.sum("bit").cast("int").alias("key"))
+    )
+    return vecs.select("vec_id", "v", bk.alias("bk")).select(
+        "vec_id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
 
 
@@ -177,14 +188,22 @@ def banded_buckets_sql(bands: int, ppb: int) -> str:
     """
 
 
-def q_sim_ann_lsh(spark, sf_dir):
+def lsh_topk(
+    spark,
+    vecs: DataFrame,
+    query_filter,
+    k: int = ANN_TOPK,
+    bands: int = ANN_BANDS,
+    ppb: int = ANN_PLANES_PER_BAND,
+) -> DataFrame:
     """Multi-band LSH approximate top-k: candidates share the query's
-    full bit-key in >=1 of ANN_BANDS bands (OR-construction). Output
-    (q_id, neighbor_id, rank, cos_sim) — approximate by construction; the
-    oracle reproduces the same buckets so results match exactly."""
-    vecs = _vecs(spark, sf_dir)
-    banded = banded_buckets(spark, vecs, ANN_BANDS, ANN_PLANES_PER_BAND)
-    queries = banded.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+    full bit-key in >=1 band (OR-construction). The scan side never
+    shuffles: bucket keys are a narrow projection (banded_buckets) and
+    the query side is broadcast. Output (q_id, neighbor_id, rank,
+    cos_sim) — approximate by construction; the oracle reproduces the
+    same buckets so results match exactly."""
+    banded = banded_buckets(spark, vecs, bands, ppb)
+    queries = banded.filter(query_filter).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "band", "key"
     )
     scored = (
@@ -199,12 +218,11 @@ def q_sim_ann_lsh(spark, sf_dir):
         # function of the pair, so distinct on (q_id, neighbor, cos3) is
         # exactly pair-dedup
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= ANN_TOPK)
-        .select("q_id", "neighbor_id", "rank", F.col("cos3").alias("cos_sim"))
-    )
+    return _rank_topk(scored, k)
+
+
+def q_sim_ann_lsh(spark, sf_dir):
+    return lsh_topk(spark, _vecs(spark, sf_dir), F.col("vec_id") % QUERY_MOD == 0)
 
 
 ORACLE_SIM_ANN_LSH = f"""
@@ -239,34 +257,62 @@ IVF_NPROBE = 4  # query searches its top-4 cells — the standard IVF
 # nprobe=4 ≈ 0.3 at ~30% scan share; clustered real data needs fewer)
 
 
-def q_sim_ann_ivf(spark, sf_dir):
+def ivf_topk(
+    vecs: DataFrame,
+    query_filter,
+    centroid_filter,
+    k: int = ANN_TOPK,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
     """IVF-flat approximate top-k: assign every vector to its
-    nearest-centroid cell (argmax cosine over a BROADCAST codebook — one
-    narrow pass), then search the query's IVF_NPROBE closest cells (one
-    shuffle on cell id). The second ANN strategy next to the hyperplane
-    LSH: IVF gives data-adaptive cells where LSH gives data-oblivious
-    ones. Output (q_id, neighbor_id, rank, cos_sim); oracle reproduces
-    the cells exactly, so results match bit-for-bit."""
-    vecs = _vecs(spark, sf_dir).repartition(F.col("vec_id"))
-    cent = vecs.filter(F.col("vec_id") % IVF_CENTROID_MOD == 1).select(
+    nearest-centroid cell, then search the query's nprobe closest cells.
+    The second ANN strategy next to the hyperplane LSH: IVF gives
+    data-adaptive cells where LSH gives data-oblivious ones.
+
+    Cell assignment is a NARROW projection: the codebook (assumed
+    broadcast-small — at scale it is a trained side table of ~2^16
+    centroids) is collected into a single one-row struct array,
+    broadcast, and each row ranks its cells with array_sort + a
+    deterministic (csim desc, c_id asc) comparator — no per-row window,
+    so the full table is never shuffled by vec_id (round 2 ranked cells
+    with row_number over Window.partitionBy(vec_id), shipping every
+    vector through TWO table-wide exchanges). The only wide op left is
+    the broadcast candidate join on cell id. Output (q_id, neighbor_id,
+    rank, cos_sim); the oracle reproduces the cells exactly, so results
+    match bit-for-bit."""
+    cent = vecs.filter(centroid_filter).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
     )
-    assign = vecs.crossJoin(F.broadcast(cent)).select(
+    codebook = cent.agg(F.collect_list(F.struct("c_id", "cv")).alias("cb"))
+    ranked = vecs.crossJoin(F.broadcast(codebook)).select(
         "vec_id",
         "v",
-        "c_id",
-        F.round(_cos(F.col("v"), F.col("cv")), 6).alias("csim"),
+        F.array_sort(
+            F.transform(
+                "cb",
+                lambda c: F.struct(
+                    F.round(_cos(F.col("v"), c["cv"]), 6).alias("csim"),
+                    c["c_id"].alias("c_id"),
+                ),
+            ),
+            lambda a, b: (
+                F.when(a["csim"] > b["csim"], F.lit(-1))
+                .when(a["csim"] < b["csim"], F.lit(1))
+                .when(a["c_id"] < b["c_id"], F.lit(-1))
+                .when(a["c_id"] > b["c_id"], F.lit(1))
+                .otherwise(F.lit(0))
+            ),
+        ).alias("cells_ranked"),
     )
-    wa = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("c_id").asc())
-    ranked_cells = assign.withColumn("rn", F.row_number().over(wa))
-    cells = ranked_cells.filter(F.col("rn") == 1).select(
-        "vec_id", "v", F.col("c_id").alias("cell")
+    cells = ranked.select(
+        "vec_id", "v", F.element_at("cells_ranked", 1)["c_id"].alias("cell")
     )
-    queries = (
-        ranked_cells.filter(
-            (F.col("vec_id") % QUERY_MOD == 0) & (F.col("rn") <= IVF_NPROBE)
-        )
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("c_id").alias("cell"))
+    queries = ranked.filter(query_filter).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.transform(F.slice("cells_ranked", 1, nprobe), lambda s: s["c_id"])
+        ).alias("cell"),
     )
     scored = (
         cells.join(F.broadcast(queries), "cell")
@@ -279,11 +325,14 @@ def q_sim_ann_ivf(spark, sf_dir):
         .distinct()  # a neighbor sits in ONE cell, but keep the pair-dedup
         # explicit for the nprobe>cell-count edge
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= ANN_TOPK)
-        .select("q_id", "neighbor_id", "rank", F.col("cos3").alias("cos_sim"))
+    return _rank_topk(scored, k)
+
+
+def q_sim_ann_ivf(spark, sf_dir):
+    return ivf_topk(
+        _vecs(spark, sf_dir),
+        F.col("vec_id") % QUERY_MOD == 0,
+        F.col("vec_id") % IVF_CENTROID_MOD == 1,
     )
 
 

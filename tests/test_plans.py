@@ -138,6 +138,36 @@ def test_dedup_family_never_shuffles_text(spark, sf_dir):
             assert not re.search(r"\btext#", block), f"{name}: text rides an Exchange:\n{block}"
 
 
+def test_vectors_never_ride_a_hash_exchange(spark, sf_dir):
+    """Embedding operators must not ship vectors through shuffle fabric:
+    LSH band keys are a narrow literal-plane projection (round 2
+    crossJoined a plane table and re-grouped, shuffling bands*n vectors)
+    and IVF cell ranking is a narrow broadcast-codebook array_sort
+    (round 2 windowed by vec_id, two table-wide vector exchanges). Only
+    broadcast of the tiny query/codebook side may carry vectors; in
+    dedup_embedding the (band, key) candidate join is the one allowed
+    vector-carrying partitioning."""
+    import re
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    allowed_keys = {"dedup_embedding": ("band", "key")}
+    for name in ("sim_topk_brute", "sim_ann_lsh", "sim_ann_ivf", "dedup_embedding"):
+        fmt = _formatted(qs[name](spark, sf_dir))
+        for block in _exchange_inputs(fmt):
+            lines = block.strip().splitlines()
+            if "BroadcastExchange" in lines[0]:
+                continue  # tiny side by construction
+            inp = next((l for l in lines if l.startswith("Input")), "")
+            if re.search(r"\b(v|qv|cv)#", inp):
+                arg = next((l for l in lines if l.startswith("Arguments")), "")
+                keys = allowed_keys.get(name)
+                assert keys and all(f"{k}#" in arg for k in keys), (
+                    f"{name}: vectors ride a non-candidate-join Exchange:\n{block}"
+                )
+
+
 def test_binary_extraction_plan_is_shuffle_free(spark, sf_dir):
     """The bytes path (pack -> parse -> extract) stays a single narrow
     pipeline like the structured path."""
