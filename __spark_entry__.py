@@ -5,6 +5,13 @@ queries()     -> every implemented operator (SURVEY.md §2 + training-data
                  pipeline ops), each (spark, sf_dir) -> DataFrame.
 oracle_sql()  -> DuckDB-equivalent SQL per query, reconstructing expected
                  results independently from the deterministic corpus spec.
+
+The registry holds EXACTLY 50 entries: round 2 registered 52 and the
+driver's correctness gate checked precisely the first 50 (media_resize /
+media_frame_sample sat at positions 51-52 and were the only operators
+without a hard correctness row), so the per-doc textstats trio and the
+two media transform kernels are each consolidated into one oracle-gated
+query — every column of the former entries is still value-hash-checked.
 """
 
 from __future__ import annotations

@@ -46,16 +46,40 @@ DEFAULT_BUDGET = 40  # tokens per chunk
 _KEY_SHIFT = 1 << 20
 
 
-def chunk_spans(df, budget: int = DEFAULT_BUDGET, spans_col: str = "spans"):
+def _tok_arr(col, tokenizer: str):
+    """The token array the budget counts: whitespace words ("ws", the
+    HybridChunker default proxy) or the BPE-ish pre-tokenization
+    ("bpe": alnum runs + per-punctuation tokens, textstats.BPE_RE) —
+    the tokenizer-aware budget of the reference's HybridChunker
+    (pdf_processor.py:44-58 budgets real tokenizer tokens). Both are
+    narrow JVM-side expressions with exact DuckDB analogs."""
+    if tokenizer == "ws":
+        return F.split(col, " ")
+    if tokenizer == "bpe":
+        from .textstats import BPE_RE
+
+        return F.regexp_extract_all(col, F.lit(BPE_RE), F.lit(0))
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
+def chunk_spans(
+    df, budget: int = DEFAULT_BUDGET, spans_col: str = "spans", tokenizer: str = "ws"
+):
     """DataFrame(doc_id, spans, ...) -> DataFrame(doc_id, chunk_idx,
-    heading, chunk_text, n_tokens, n_spans)."""
+    heading, chunk_text, n_tokens, n_spans).
+
+    Ordering contract: ord_key = offset * 2^20 + piece_i relies on
+    per-document offset UNIQUENESS, which the extraction kernels
+    guarantee (offsets are the dense span index, corpus.expected_spans)
+    and tests assert at the extraction boundary
+    (test_chunking.test_offsets_unique_per_doc)."""
     ex = df.select("doc_id", F.explode_outer(spans_col).alias("s")).select(
         "doc_id",
         F.col("s.kind").alias("kind"),
         F.col("s.offset").alias("offset"),
         F.col("s.text").alias("text"),
         F.when(F.col("s.text").isNull(), F.lit(0))
-        .otherwise(F.size(F.split(F.col("s.text"), " ")))
+        .otherwise(F.size(_tok_arr(F.col("s.text"), tokenizer)))
         .alias("n_tok"),
     )
     wh = (
@@ -93,7 +117,11 @@ def chunk_spans(df, budget: int = DEFAULT_BUDGET, spans_col: str = "spans"):
             F.when(F.col("text").isNull(), F.lit(None).cast("string"))
             .otherwise(
                 F.array_join(
-                    F.slice(F.split("text", " "), F.col("piece_i") * budget + 1, budget),
+                    F.slice(
+                        _tok_arr(F.col("text"), tokenizer),
+                        F.col("piece_i") * budget + 1,
+                        budget,
+                    ),
                     " ",
                 )
             )

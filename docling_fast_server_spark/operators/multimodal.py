@@ -189,16 +189,16 @@ def oracle_media_features() -> str:
 
 
 # ---------------------------------------------------------------------------
-# resize + frame-sample kernels — the remaining multimodal plumbing
-# (schema, Arrow batch shape, integer-exact geometry; the pixel work is
-# the same documented FAKE_DECODE stand-in as decode)
+# resize + frame-sample transform kernel — the remaining multimodal
+# plumbing (schema, Arrow batch shape, integer-exact geometry; the pixel
+# work is the same documented FAKE_DECODE stand-in as decode)
 # ---------------------------------------------------------------------------
 RESIZE_MAX_DIM = 128
 FRAME_BYTES = 64  # treat the payload as a sequence of 64-byte "frames"
 FRAME_STRIDE = 4  # keep every 4th frame
 
 
-RESIZED_SCHEMA = T.StructType(
+TRANSFORMS_SCHEMA = T.StructType(
     [
         T.StructField("media_ref", T.StringType(), False),
         T.StructField("width", T.IntegerType(), False),
@@ -206,44 +206,6 @@ RESIZED_SCHEMA = T.StructType(
         T.StructField("new_width", T.IntegerType(), False),
         T.StructField("new_height", T.IntegerType(), False),
         T.StructField("n_bytes_resized", T.LongType(), False),
-    ]
-)
-
-
-def resize_media(media: DataFrame, max_dim: int = RESIZE_MAX_DIM) -> DataFrame:
-    """Bounded-box resize: scale so max(w, h) <= max_dim, preserving
-    aspect ratio with INTEGER arithmetic (new_w = w*max_dim div max(w,h))
-    so the oracle reproduces the geometry exactly. A real implementation
-    swaps the byte-count model for PIL.thumbnail inside the same batch
-    loop; the Spark plumbing (mapInPandas over BinaryType, schema,
-    partitioning) is the production shape."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats = _decode_image_batch(pdf["payload"])
-            out = {k: [] for k in ("media_ref", "width", "height", "new_width", "new_height", "n_bytes_resized")}
-            for ref, p, w, h in zip(pdf["media_ref"], pdf["payload"], feats["width"], feats["height"]):
-                w, h = int(w), int(h)
-                big = max(w, h)
-                if big <= max_dim:
-                    nw, nh = w, h
-                else:
-                    nw, nh = w * max_dim // big, h * max_dim // big
-                n = len(bytes(p))
-                out["media_ref"].append(ref)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["new_width"].append(nw)
-                out["new_height"].append(nh)
-                out["n_bytes_resized"].append(max(1, n * (nw * nh) // (w * h)))
-            yield pd.DataFrame(out)
-
-    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
-
-
-FRAMES_SCHEMA = T.StructType(
-    [
-        T.StructField("media_ref", T.StringType(), False),
         T.StructField("n_frames", T.IntegerType(), False),
         T.StructField("n_sampled", T.IntegerType(), False),
         T.StructField("sample_checksum", T.LongType(), False),
@@ -251,86 +213,92 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
-def frame_sample(media: DataFrame, frame_bytes: int = FRAME_BYTES, stride: int = FRAME_STRIDE) -> DataFrame:
-    """Frame sampling: treat the payload as fixed-size frames and keep
-    every `stride`-th (the video keyframe-sampling shape — a real decoder
-    replaces the byte slicing with container demux inside the same batch
-    loop). Emits per-media frame counts and the checksum of the sampled
-    frames' bytes."""
+def transform_media(
+    media: DataFrame,
+    max_dim: int = RESIZE_MAX_DIM,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Resize geometry + frame sampling in ONE Arrow-batched pass (the
+    per-payload work shares the decode, and a single registry row keeps
+    the whole query surface inside the driver gate's 50-entry check
+    budget — round 2 registered resize and frame-sample as entries 51
+    and 52, the only two operators the gate never checked). Same
+    integer-exact semantics as resize_media + frame_sample."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TRANSFORMS_SCHEMA.fields]
         for pdf in batches:
-            out = {k: [] for k in ("media_ref", "n_frames", "n_sampled", "sample_checksum")}
-            for ref, p in zip(pdf["media_ref"], pdf["payload"]):
+            feats = _decode_image_batch(pdf["payload"])
+            out = {k: [] for k in cols}
+            for ref, p, w, h in zip(pdf["media_ref"], pdf["payload"], feats["width"], feats["height"]):
+                w, h = int(w), int(h)
+                big = max(w, h)
+                if big <= max_dim:
+                    nw, nh = w, h
+                else:
+                    nw, nh = w * max_dim // big, h * max_dim // big
                 b = bytes(p)
+                n = len(b)
                 n_frames = len(b) // frame_bytes
                 sampled = range(0, n_frames, stride)
                 csum = sum(
                     sum(b[f * frame_bytes : (f + 1) * frame_bytes]) for f in sampled
                 )
                 out["media_ref"].append(ref)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["new_width"].append(nw)
+                out["new_height"].append(nh)
+                out["n_bytes_resized"].append(max(1, n * (nw * nh) // (w * h)))
                 out["n_frames"].append(n_frames)
                 out["n_sampled"].append(len(sampled))
                 out["sample_checksum"].append(csum)
             yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=FRAMES_SCHEMA)
+    return media.mapInPandas(run, schema=TRANSFORMS_SCHEMA)
 
 
-def q_media_resize(spark, sf_dir):
+def q_media_transforms(spark, sf_dir):
     from ..queries import extract_all
 
     media = synthesize_media_table(spark, extract_all(spark, sf_dir))
-    return resize_media(media)
+    return transform_media(media)
 
 
-def q_media_frame_sample(spark, sf_dir):
-    from ..queries import extract_all
-
-    media = synthesize_media_table(spark, extract_all(spark, sf_dir))
-    return frame_sample(media)
-
-
-def oracle_media_resize() -> str:
+def oracle_media_transforms() -> str:
     return (
         _oracle_seeds_cte()
         + f"""
     , dims AS (
-      SELECT media_ref, n,
+      SELECT media_ref, n, seed,
              64 + (seed % 256) % 192 AS w,
              64 + ((seed + (n - 1) * 31) % 256) % 192 AS h
       FROM sized
     ),
     scaled AS (
-      SELECT media_ref, n, w, h,
+      SELECT media_ref, n, seed, w, h,
              CASE WHEN greatest(w, h) <= {RESIZE_MAX_DIM} THEN w
                   ELSE w * {RESIZE_MAX_DIM} // greatest(w, h) END AS nw,
              CASE WHEN greatest(w, h) <= {RESIZE_MAX_DIM} THEN h
                   ELSE h * {RESIZE_MAX_DIM} // greatest(w, h) END AS nh
       FROM dims
-    )
-    SELECT media_ref, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
-           CAST(nw AS INTEGER) AS new_width, CAST(nh AS INTEGER) AS new_height,
-           CAST(greatest(1, n * (nw * nh) // (w * h)) AS BIGINT) AS n_bytes_resized
-    FROM scaled
-"""
-    )
-
-
-def oracle_media_frame_sample() -> str:
-    return (
-        _oracle_seeds_cte()
-        + f"""
-    , per_byte AS (
-      SELECT s.media_ref, s.n, u.i, (s.seed + u.i * 31) % 256 AS byte
+    ),
+    frames AS (
+      SELECT s.media_ref,
+             CAST(any_value(s.n) // {FRAME_BYTES} AS INTEGER) AS n_frames,
+             CAST((any_value(s.n) // {FRAME_BYTES} + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS INTEGER) AS n_sampled,
+             CAST(sum(CASE WHEN (u.i // {FRAME_BYTES}) % {FRAME_STRIDE} = 0
+                           THEN (s.seed + u.i * 31) % 256 ELSE 0 END) AS BIGINT) AS sample_checksum
       FROM sized s, unnest(range(2048)) AS u(i)
       WHERE u.i < (s.n // {FRAME_BYTES}) * {FRAME_BYTES}
+      GROUP BY s.media_ref
     )
-    SELECT media_ref,
-           CAST(any_value(n) // {FRAME_BYTES} AS INTEGER) AS n_frames,
-           CAST((any_value(n) // {FRAME_BYTES} + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS INTEGER) AS n_sampled,
-           CAST(sum(CASE WHEN (i // {FRAME_BYTES}) % {FRAME_STRIDE} = 0 THEN byte ELSE 0 END) AS BIGINT) AS sample_checksum
-    FROM per_byte GROUP BY media_ref
+    SELECT d.media_ref, CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+           CAST(d.nw AS INTEGER) AS new_width, CAST(d.nh AS INTEGER) AS new_height,
+           CAST(greatest(1, d.n * (d.nw * d.nh) // (d.w * d.h)) AS BIGINT) AS n_bytes_resized,
+           f.n_frames, f.n_sampled, f.sample_checksum
+    FROM scaled d JOIN frames f USING (media_ref)
 """
     )
 
@@ -338,8 +306,7 @@ def oracle_media_frame_sample() -> str:
 QUERIES = {
     "media_inventory": q_media_inventory,
     "media_features": q_media_features,
-    "media_resize": q_media_resize,
-    "media_frame_sample": q_media_frame_sample,
+    "media_transforms": q_media_transforms,
 }
 
 
@@ -347,6 +314,5 @@ def oracles():
     return {
         "media_inventory": oracle_media_inventory(),
         "media_features": oracle_media_features(),
-        "media_resize": oracle_media_resize(),
-        "media_frame_sample": oracle_media_frame_sample(),
+        "media_transforms": oracle_media_transforms(),
     }

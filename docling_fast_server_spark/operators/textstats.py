@@ -45,27 +45,15 @@ def _docs(spark, sf_dir):
 BPE_RE = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
 
 
-def q_token_count(spark, sf_dir):
-    w = F.split(F.col("text"), " ")
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.size(w).cast("long").alias("n_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0)))
-        .cast("long")
-        .alias("n_tokens_bpe"),
-        F.length("text").cast("long").alias("n_chars_actual"),
-    )
-
-
-ORACLE_TOKEN_COUNT = f"""
-    SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_tokens_bpe,
-           CAST(length(text) AS BIGINT) AS n_chars_actual
-    FROM documents
-"""
-
-
-def q_quality(spark, sf_dir):
+def q_textstats(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish), quality scoring, and
+    language-ID in ONE narrow per-doc projection — the three metrics
+    share the tokenization anyway, and a single registry row keeps the
+    whole query surface inside the driver gate's 50-entry check budget
+    (round 2 registered 52 entries; the two past position 50 were the
+    only operators without a hard correctness signal). Every column of
+    the former ts_token_count / ts_quality / ts_langid rows is still
+    value-hash-checked here."""
     w = F.split(F.col("text"), " ")
     stop_in = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS)))
     n = F.size(w)
@@ -74,46 +62,41 @@ def q_quality(spark, sf_dir):
     score = F.round(stop_ratio * 0.5 + F.least(n / 100.0, F.lit(1.0)) * 0.5, 4)
     return _docs(spark, sf_dir).select(
         "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0)))
+        .cast("long")
+        .alias("n_tokens_bpe"),
+        F.length("text").cast("long").alias("n_chars_actual"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(mean_wlen, 4).alias("mean_word_len"),
         score.alias("quality_score"),
+        F.when(stop_ratio > EN_THRESHOLD, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+        F.round(stop_ratio, 4).alias("en_score"),
     )
 
 
 _STOP_SQL = "(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
 
-ORACLE_QUALITY = f"""
+ORACLE_TEXTSTATS = f"""
     WITH t AS (
       SELECT doc_id, text, string_split(text, ' ') AS w,
              len(string_split(text, ' ')) AS n
       FROM documents
+    ),
+    r AS (
+      SELECT *, CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS DOUBLE) / n AS sr
+      FROM t
     )
     SELECT doc_id,
-           round(CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS DOUBLE) / n, 4) AS stopword_ratio,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_tokens_bpe,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           round(sr, 4) AS stopword_ratio,
            round(CAST(length(text) - n + 1 AS DOUBLE) / n, 4) AS mean_word_len,
-           round(CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS DOUBLE) / n * 0.5
-                 + least(n / 100.0, 1.0) * 0.5, 4) AS quality_score
-    FROM t
-"""
-
-
-def q_langid(spark, sf_dir):
-    w = F.split(F.col("text"), " ")
-    ratio = F.size(F.filter(w, lambda x: x.isin(*STOPWORDS))) / F.size(w)
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.when(ratio > EN_THRESHOLD, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
-        F.round(ratio, 4).alias("en_score"),
-    )
-
-
-ORACLE_LANGID = f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
-    SELECT doc_id,
-           CASE WHEN CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS DOUBLE) / len(w)
-                     > {EN_THRESHOLD} THEN 'en' ELSE 'unk' END AS lang_pred,
-           round(CAST(len(list_filter(w, x -> x IN {_STOP_SQL})) AS DOUBLE) / len(w), 4) AS en_score
-    FROM t
+           round(sr * 0.5 + least(n / 100.0, 1.0) * 0.5, 4) AS quality_score,
+           CASE WHEN sr > {EN_THRESHOLD} THEN 'en' ELSE 'unk' END AS lang_pred,
+           round(sr, 4) AS en_score
+    FROM r
 """
 
 
@@ -164,14 +147,10 @@ ORACLE_FINGERPRINT = f"""
 
 
 QUERIES = {
-    "ts_token_count": q_token_count,
-    "ts_quality": q_quality,
-    "ts_langid": q_langid,
+    "ts_textstats": q_textstats,
     "ts_fingerprint": q_fingerprint,
 }
 ORACLES = {
-    "ts_token_count": ORACLE_TOKEN_COUNT,
-    "ts_quality": ORACLE_QUALITY,
-    "ts_langid": ORACLE_LANGID,
+    "ts_textstats": ORACLE_TEXTSTATS,
     "ts_fingerprint": ORACLE_FINGERPRINT,
 }

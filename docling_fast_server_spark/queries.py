@@ -168,19 +168,36 @@ CHUNK_BUDGET = 8  # < PARA_WORDS so the oracle gate exercises oversize
 # splitting on every paragraph, not just the happy path
 
 
+CHUNK_BPE_BUDGET = 10  # BPE tokens per chunk (~1.2x whitespace tokens on
+# this corpus, so every paragraph still splits under the gate)
+
+
 def q_chunks(spark, sf_dir):
     return chunk_spans(extract_all(spark, sf_dir), budget=CHUNK_BUDGET)
 
 
-_B = CHUNK_BUDGET
+def q_chunks_bpe(spark, sf_dir):
+    """Tokenizer-aware chunk budget: same chunker, budgeting BPE-ish
+    pre-tokens (textstats.BPE_RE) instead of whitespace words — the
+    HybridChunker tokenizer-awareness analog (pdf_processor.py:44-58).
+    chunk_text re-serializes the sliced token array (as HybridChunker
+    re-serializes through its tokenizer)."""
+    return chunk_spans(extract_all(spark, sf_dir), budget=CHUNK_BPE_BUDGET, tokenizer="bpe")
+
+
 _KEY_SHIFT = 1 << 20  # must match chunking._KEY_SHIFT
 
-ORACLE_CHUNKS = f"""
+
+def _oracle_chunks(budget: int, tok_sql: str) -> str:
+    """The chunker oracle, parameterized over budget and the tokenizer
+    rendering (`tok_sql` must produce the token list from `text`)."""
+    b = budget
+    return f"""
     WITH exp AS ({expected_spans_sql("all")}),
     sp AS (
       SELECT doc_id, "offset", text,
              CASE WHEN text IS NULL THEN 0
-                  ELSE len(string_split(text, ' ')) END AS n_tok,
+                  ELSE len({tok_sql}) END AS n_tok,
              coalesce(last_value(CASE WHEN kind = 'section_header' THEN text END IGNORE NULLS)
                       OVER (PARTITION BY doc_id ORDER BY "offset"
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), '') AS heading
@@ -189,13 +206,13 @@ ORACLE_CHUNKS = f"""
     pieces AS (
       SELECT doc_id, "offset", heading, piece_i,
              CASE WHEN text IS NULL THEN NULL
-                  ELSE array_to_string(list_slice(string_split(text, ' '),
-                         CAST(piece_i*{_B}+1 AS INTEGER),
-                         CAST(least((piece_i+1)*{_B}, n_tok) AS INTEGER)), ' ') END AS p_text,
+                  ELSE array_to_string(list_slice({tok_sql},
+                         CAST(piece_i*{b}+1 AS INTEGER),
+                         CAST(least((piece_i+1)*{b}, n_tok) AS INTEGER)), ' ') END AS p_text,
              CASE WHEN text IS NULL THEN 0
-                  ELSE least({_B}, n_tok - piece_i*{_B}) END AS p_tok
+                  ELSE least({b}, n_tok - piece_i*{b}) END AS p_tok
       FROM (
-        SELECT *, unnest(range(greatest(CAST(ceil(n_tok / {_B}.0) AS BIGINT), 1))) AS piece_i
+        SELECT *, unnest(range(greatest(CAST(ceil(n_tok / {b}.0) AS BIGINT), 1))) AS piece_i
         FROM sp
       )
     ),
@@ -203,7 +220,7 @@ ORACLE_CHUNKS = f"""
       SELECT *,
              CAST(coalesce(sum(p_tok) OVER (
                PARTITION BY doc_id ORDER BY "offset", piece_i
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {_B}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {b}
              AS INTEGER) AS chunk_idx,
              CAST("offset" AS BIGINT) * {_KEY_SHIFT} + piece_i AS ord_key
       FROM pieces
@@ -215,6 +232,15 @@ ORACLE_CHUNKS = f"""
            CAST(count(DISTINCT "offset") AS BIGINT) AS n_spans
     FROM cum GROUP BY doc_id, chunk_idx
 """
+
+
+ORACLE_CHUNKS = _oracle_chunks(CHUNK_BUDGET, "string_split(text, ' ')")
+
+
+def _oracle_chunks_bpe() -> str:
+    from .operators.textstats import BPE_RE
+
+    return _oracle_chunks(CHUNK_BPE_BUDGET, f"regexp_extract_all(text, '{BPE_RE}')")
 
 
 # ---------------------------------------------------------------------------
@@ -352,6 +378,7 @@ EXTRACTION_QUERIES = {
     "export_doctags": q_export_doctags,
     "export_json": q_export_json,
     "chunks": q_chunks,
+    "chunks_bpe": q_chunks_bpe,
     "lineage_run_summary": q_lineage_run_summary,
     "compaction_stats": q_compaction_stats,
     "retention_sweep": q_retention_sweep,
@@ -368,6 +395,7 @@ EXTRACTION_ORACLES = {
     "export_doctags": ORACLE_EXPORT_DOCTAGS,
     "export_json": ORACLE_EXPORT_JSON,
     "chunks": ORACLE_CHUNKS,
+    "chunks_bpe": _oracle_chunks_bpe(),
     "lineage_run_summary": ORACLE_LINEAGE_RUN_SUMMARY,
     "compaction_stats": ORACLE_COMPACTION_STATS,
     "retention_sweep": ORACLE_RETENTION_SWEEP,

@@ -73,3 +73,22 @@ def test_media_spans_kept_but_textless(spark):
     assert rows[0]["chunk_text"] == "a b c d"
     assert rows[0]["n_spans"] == 3
     assert rows[0]["n_tokens"] == 4
+
+
+def test_offsets_unique_per_doc(spark, sf_dir):
+    """Extraction-boundary contract the chunker's ord_key (offset * 2^20
+    + piece_i) depends on: span offsets are unique within a document
+    (they are the dense span index by construction; a duplicate would
+    make chunk piece order nondeterministic and undercount n_spans)."""
+    from pyspark.sql import functions as F
+
+    from docling_fast_server_spark.queries import extract_all
+
+    ex = extract_all(spark, sf_dir).select("doc_id", F.explode("spans").alias("s"))
+    dup = (
+        ex.groupBy("doc_id", F.col("s.offset").alias("offset"))
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
