@@ -83,39 +83,77 @@ def append_table(df: DataFrame, path: str) -> None:
 from contextlib import contextmanager
 
 
-LOCK_STALE_S = 300  # a holder that hasn't finished in 5 min is dead
+LOCK_STALE_S = 300  # a holder whose heartbeat stopped 5 min ago is dead
+_HEARTBEAT_S = LOCK_STALE_S / 10  # holder refreshes lock mtime this often
 
 
 @contextmanager
 def _commit_lock(commits_dir: str):
     """Table commit lock: atomic POSIX mkdir (the catalog analog).
 
-    Stale-lock recovery: a writer that crashed INSIDE the critical
-    section leaves the lock dir behind; without recovery every later
-    writer spins forever. A lock older than LOCK_STALE_S is stolen
-    (rmdir + retry — the rmdir itself races safely: at most one stealer
-    wins the subsequent mkdir). Safe because the protected section is
-    seconds long and a crashed holder's staged files are invisible until
-    its manifest rename, which by construction never happened."""
-    import time
+    Stale-lock recovery must be SOUND under racing stealers and
+    long-stalled live holders (round 2's rmdir+retry steal let two
+    waiters both pass the mtime check and the second rmdir delete a
+    freshly re-acquired lock — two writers in the critical section):
 
+    - STEAL = atomic rename of the lock dir to a stealer-unique
+      tombstone: the filesystem guarantees exactly one renamer wins;
+      the loser's rename raises and it goes back to waiting. The
+      tombstone is then deleted and the stealer retries mkdir on equal
+      footing with every other waiter.
+    - LIVENESS = a daemon heartbeat touches the lock mtime every
+      LOCK_STALE_S/10 while held, so a live holder is never stolen no
+      matter how long its under-lock Spark work runs; only a truly
+      crashed holder's lock ages past LOCK_STALE_S.
+    - RELEASE = guarded by an owner token file inside the lock dir: if
+      the lock WAS stolen (a stall beyond LOCK_STALE_S froze the
+      heartbeat thread too), the token vanished with the rename, the
+      release becomes a no-op, and the thief's lock is left intact."""
+    import shutil
+    import threading
+    import time
+    import uuid as _uuid
+
+    os.makedirs(commits_dir, exist_ok=True)
     lock = os.path.join(commits_dir, ".lock")
+    token = f"owner-{_uuid.uuid4().hex}"
     while True:
         try:
             os.mkdir(lock)
+            open(os.path.join(lock, token), "w").close()
             break
         except FileExistsError:
             try:
                 if time.time() - os.path.getmtime(lock) > LOCK_STALE_S:
-                    os.rmdir(lock)
+                    tomb = lock + f".tomb-{_uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lock, tomb)  # exactly one stealer wins
+                    except OSError:
+                        pass  # lost the steal race or lock released
+                    else:
+                        shutil.rmtree(tomb, ignore_errors=True)
                     continue
             except OSError:
                 pass  # lock released or stolen between the checks
             time.sleep(0.05)
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while not stop.wait(_HEARTBEAT_S):
+            try:
+                os.utime(lock)
+            except OSError:  # pragma: no cover — stolen during a stall
+                return
+
+    hb = threading.Thread(target=_beat, daemon=True)
+    hb.start()
     try:
         yield
     finally:
+        stop.set()
+        hb.join(timeout=2)
         try:
+            os.remove(os.path.join(lock, token))  # gone if stolen
             os.rmdir(lock)
         except OSError:  # pragma: no cover — stolen after a stall
             pass
@@ -147,6 +185,48 @@ def _write_manifest(commits_dir: str, entry: dict) -> None:
     os.rename(tmp, os.path.join(commits_dir, f"commit-{entry['seq']:08d}-{entry['commit_id']}.json"))
 
 
+def _keys_dir(commits_dir: str) -> str:
+    return os.path.join(commits_dir, "keys")
+
+
+def _committed_keys_df(spark: SparkSession, commits_dir: str, entries: list[dict]):
+    """The committed key set as a DataFrame — read DISTRIBUTIVELY from
+    the per-commit key parquet files each manifest references (the
+    Iceberg-metadata analog). Returns None for an empty history. No key
+    ever passes through the driver: round 2 pulled every committed key
+    into a Python set and rebuilt a DataFrame from it driver-side,
+    which caps the protocol at driver memory."""
+    paths = [
+        os.path.join(_keys_dir(commits_dir), f)
+        for e in entries
+        for f in e.get("key_files", [])
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def _gc_uncommitted(path: str, commits_dir: str, entries: list[dict]) -> None:
+    """Under the commit lock: delete merge-written data/key files not
+    referenced by ANY manifest. Such orphans belong to a writer that
+    crashed between its renames and its manifest publish (the manifest
+    is written LAST); until this sweep runs, a plain
+    spark.read.parquet(path) would see the crashed commit's rows — and
+    a retry re-committing the same keys would duplicate them for plain
+    readers. Only `merge-*` files are candidates, so plain append_table
+    output is never touched."""
+    live = {f for e in entries for f in e["files"]}
+    for f in os.listdir(path):
+        if f.startswith("merge-") and f.endswith(".parquet") and f not in live:
+            os.remove(os.path.join(path, f))
+    kd = _keys_dir(commits_dir)
+    if os.path.isdir(kd):
+        live_keys = {f for e in entries for f in e.get("key_files", [])}
+        for f in os.listdir(kd):
+            if f.endswith(".parquet") and f not in live_keys:
+                os.remove(os.path.join(kd, f))
+
+
 def list_snapshots(path: str) -> list[dict]:
     """Commit history of a merge-committed table — the Iceberg snapshot
     log analog (`SELECT * FROM t.snapshots`). One row per commit:
@@ -156,7 +236,7 @@ def list_snapshots(path: str) -> list[dict]:
             "seq": e["seq"],
             "commit_id": e["commit_id"],
             "n_files": len(e["files"]),
-            "n_keys": len(e["keys"]),
+            "n_keys": e["n_keys"],
         }
         for e in _read_manifests(os.path.join(path, "_commits"))
     ]
@@ -193,6 +273,10 @@ def rollback_table(spark: SparkSession, path: str, seq: int) -> int:
                 fp = os.path.join(path, f)
                 if os.path.exists(fp):
                     os.remove(fp)
+            for f in e.get("key_files", []):
+                kp = os.path.join(_keys_dir(commits_dir), f)
+                if os.path.exists(kp):
+                    os.remove(kp)
             os.remove(os.path.join(commits_dir, e["_manifest_file"]))
     spark.catalog.refreshByPath(path)
     return len(doomed)
@@ -216,7 +300,11 @@ def expire_snapshots(path: str, keep_last: int = 1) -> int:
             "seq": old[-1]["seq"],
             "commit_id": _uuid.uuid4().hex[:12],
             "files": sorted(f for e in old for f in e["files"]),
-            "keys": sorted({k for e in old for k in e["keys"]}),
+            "key_files": sorted(f for e in old for f in e.get("key_files", [])),
+            # commits admit only never-seen keys, so per-commit key sets
+            # are disjoint and the merged count is exact
+            "n_keys": sum(e["n_keys"] for e in old),
+            "key": old[-1].get("key", "doc_id"),
         }
         for e in old:
             os.remove(os.path.join(commits_dir, e["_manifest_file"]))
@@ -241,22 +329,23 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
     protocol Iceberg runs in its metadata layer:
       1. stage data files OUTSIDE the lock (parallel write to a
          dot-prefixed dir Spark readers ignore);
-      2. take the table commit lock (atomic POSIX mkdir, the catalog
-         analog);
-      3. under the lock, diff staged keys against the committed manifest
-         (_commits/*.txt, one key per line); rewrite the staged files
-         without the overlap if any;
-      4. rename the staged part files into the table, then publish the
-         manifest entry via atomic rename;
+      2. take the table commit lock (atomic POSIX mkdir + heartbeat,
+         the catalog analog);
+      3. under the lock, garbage-collect files left by crashed commits
+         (merge-prefixed files no manifest references), then anti-join
+         the staged keys against the committed key set — per-commit key
+         PARQUET files referenced by the manifests, so the check is
+         fully distributed (no key ever passes through the driver; the
+         manifests themselves carry only file names + counts);
+      4. rename the staged part files into the table under
+         commit-unique `merge-<id>-` names, write this commit's key
+         parquet, then publish the manifest entry via atomic rename
+         LAST;
       5. release the lock.
-    A crash before (4) leaves only ignored hidden files; a crash during
-    (4) is repaired by the manifest being written last (unmanifested
-    part files belong to the crashed commit and its keys re-merge
-    cleanly on retry because data-file names are commit-unique).
-
-    The manifest key-set scan is driver-side here — the sandbox stand-in
-    for Iceberg's distributed metadata; at 10^12 keys the Iceberg branch
-    is the design and this branch is the semantics contract + test rig.
+    A crash before (4) leaves only ignored hidden files; a crash inside
+    (4) leaves merge-prefixed files no manifest references — invisible
+    to manifest-driven readers immediately, and swept for plain
+    spark.read.parquet readers by the next commit's GC pass (3).
     Returns the number of rows actually committed."""
     import shutil
     import tempfile
@@ -275,41 +364,61 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
 
     os.makedirs(path, exist_ok=True)
     commits_dir = os.path.join(path, "_commits")
-    os.makedirs(commits_dir, exist_ok=True)
+    os.makedirs(_keys_dir(commits_dir), exist_ok=True)
     staging = tempfile.mkdtemp(prefix=".dfss-stage-", dir=path)
     df.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
 
     with _commit_lock(commits_dir):
         entries = _read_manifests(commits_dir)
-        committed: set[str] = set()
-        for e in entries:
-            committed.update(e["keys"])
-        staged_ids = {str(r[0]) for r in staged.select(key).distinct().collect()}
-        new_ids = staged_ids - committed
-        if not new_ids:
+        _gc_uncommitted(path, commits_dir, entries)
+        staged_keys = staged.select(key).distinct()
+        committed = _committed_keys_df(spark, commits_dir, entries)
+        if committed is None:
+            n_staged = n_new = staged_keys.count()
+        else:
+            n_staged = staged_keys.count()
+            n_new = staged_keys.join(committed, key, "left_anti").count()
+        if n_new == 0:
             shutil.rmtree(staging)
             return 0
         src_dir = staging
-        if staged_ids - new_ids:  # overlap: rewrite without committed keys
+        if n_new != n_staged:  # overlap: rewrite without committed keys
             filtered = tempfile.mkdtemp(prefix=".dfss-stage-", dir=path)
-            ids_df = spark.createDataFrame([(i,) for i in committed], f"{key} string")
-            staged.join(ids_df, key, "left_anti").write.mode("overwrite").parquet(filtered)
+            staged.join(committed, key, "left_anti").write.mode("overwrite").parquet(filtered)
             shutil.rmtree(staging)
             src_dir = filtered
         n_rows = spark.read.parquet(src_dir).count()
-        data_files = [f for f in os.listdir(src_dir) if f.endswith(".parquet")]
-        for f in data_files:
-            os.rename(os.path.join(src_dir, f), os.path.join(path, f))
+        commit_id = _uuid.uuid4().hex[:12]
+        # this commit's key set, written distributed and renamed in
+        kstage = tempfile.mkdtemp(prefix=".dfss-kstage-", dir=path)
+        spark.read.parquet(src_dir).select(key).distinct().write.mode(
+            "overwrite"
+        ).parquet(kstage)
+        key_files = []
+        for f in sorted(os.listdir(kstage)):
+            if f.endswith(".parquet"):
+                name = f"keys-{commit_id}-{f}"
+                os.rename(os.path.join(kstage, f), os.path.join(_keys_dir(commits_dir), name))
+                key_files.append(name)
+        shutil.rmtree(kstage)
+        data_files = []
+        for f in sorted(os.listdir(src_dir)):
+            if f.endswith(".parquet"):
+                name = f"merge-{commit_id}-{f}"
+                os.rename(os.path.join(src_dir, f), os.path.join(path, name))
+                data_files.append(name)
         shutil.rmtree(src_dir)
         seq = max((e["seq"] for e in entries), default=0) + 1
         _write_manifest(
             commits_dir,
             {
                 "seq": seq,
-                "commit_id": _uuid.uuid4().hex[:12],
-                "files": sorted(data_files),
-                "keys": sorted(new_ids),
+                "commit_id": commit_id,
+                "files": data_files,
+                "key_files": key_files,
+                "n_keys": n_new,
+                "key": key,
             },
         )
         spark.catalog.refreshByPath(path)
@@ -333,20 +442,82 @@ def _swap_table(spark: SparkSession, path: str, write_staging) -> None:
     at any point leaves either the old or the new table intact and a
     recoverable `.dfss-old-*` copy on disk. (Round 1 did
     rmtree(path); move(staging, path) — a crash between the two destroyed
-    the table.)"""
+    the table.)
+
+    MERGE-committed tables (path/_commits exists) keep their merge
+    semantics through the swap: under the commit lock, the rewritten
+    files are renamed to merge-prefixed names and a fresh BASE manifest
+    is emitted whose key parquet is RECOMPUTED from the rewritten data
+    (the manifests record the key column). So compaction preserves the
+    committed key set exactly, while a retention delete that drops rows
+    also re-admits their keys — matching Iceberg, where a MERGE inserts
+    any key a DELETE removed. Round 2 silently destroyed _commits here,
+    after which every previously committed key re-merged as a duplicate
+    and snapshot reads pointed at deleted files."""
     import shutil
     import tempfile
+    import uuid as _uuid
 
     abs_path = os.path.abspath(path.rstrip("/"))
     parent = os.path.dirname(abs_path)
-    staging = tempfile.mkdtemp(prefix=".dfss-staging-", dir=parent)
-    write_staging(staging)
-    old = tempfile.mkdtemp(prefix=".dfss-old-", dir=parent)
-    os.rmdir(old)  # reserve a unique same-filesystem name for the rename
-    os.rename(abs_path, old)
-    os.rename(staging, abs_path)
-    shutil.rmtree(old)
-    spark.catalog.refreshByPath(abs_path)
+    commits_dir = os.path.join(abs_path, "_commits")
+    merged = os.path.isdir(commits_dir)
+
+    def _swap(staging: str) -> None:
+        old = tempfile.mkdtemp(prefix=".dfss-old-", dir=parent)
+        os.rmdir(old)  # reserve a unique same-filesystem name for the rename
+        os.rename(abs_path, old)
+        os.rename(staging, abs_path)
+        shutil.rmtree(old)
+        spark.catalog.refreshByPath(abs_path)
+
+    if not merged:
+        staging = tempfile.mkdtemp(prefix=".dfss-staging-", dir=parent)
+        write_staging(staging)
+        _swap(staging)
+        return
+
+    with _commit_lock(commits_dir):
+        entries = _read_manifests(commits_dir)
+        key = entries[-1].get("key", "doc_id") if entries else "doc_id"
+        staging = tempfile.mkdtemp(prefix=".dfss-staging-", dir=parent)
+        write_staging(staging)
+        commit_id = _uuid.uuid4().hex[:12]
+        data_files = []
+        for f in sorted(os.listdir(staging)):
+            if f.endswith(".parquet"):
+                name = f"merge-{commit_id}-{f}"
+                os.rename(os.path.join(staging, f), os.path.join(staging, name))
+                data_files.append(name)
+        new_commits = os.path.join(staging, "_commits")
+        os.makedirs(_keys_dir(new_commits), exist_ok=True)
+        kstage = tempfile.mkdtemp(prefix=".dfss-kstage-", dir=staging)
+        spark.read.parquet(
+            *[os.path.join(staging, f) for f in data_files]
+        ).select(key).distinct().write.mode("overwrite").parquet(kstage)
+        key_files = []
+        n_keys = spark.read.parquet(kstage).count()
+        for f in sorted(os.listdir(kstage)):
+            if f.endswith(".parquet"):
+                name = f"keys-{commit_id}-{f}"
+                os.rename(os.path.join(kstage, f), os.path.join(_keys_dir(new_commits), name))
+                key_files.append(name)
+        shutil.rmtree(kstage)
+        _write_manifest(
+            new_commits,
+            {
+                "seq": max((e["seq"] for e in entries), default=0) + 1,
+                "commit_id": commit_id,
+                "files": data_files,
+                "key_files": key_files,
+                "n_keys": n_keys,
+                "key": key,
+            },
+        )
+        _swap(staging)
+        # the lock dir was swapped away with the old table; releasing is
+        # a no-op (the token vanished), which is exactly correct: the new
+        # table starts unlocked
 
 
 def retention_delete(spark: SparkSession, path: str, predicate: str) -> int:

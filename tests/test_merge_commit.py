@@ -82,3 +82,74 @@ def test_stale_lock_is_stolen(spark, tmp_path):
     assert merge_append_table(df, out) == 3
     assert spark.read.parquet(out).count() == 3
     assert not os.path.exists(lock)
+
+
+def test_merge_path_is_fully_distributed():
+    """The committed-key check must never pass keys through the driver:
+    no .collect() (and no createDataFrame rebuild) anywhere in io.py."""
+    import inspect
+
+    import docling_fast_server_spark.sources.io as io_mod
+
+    src = inspect.getsource(io_mod)
+    assert ".collect()" not in src
+    assert "createDataFrame" not in src
+
+
+def test_crashed_commit_files_are_gced(spark, tmp_path):
+    """Files a crashed writer renamed in before publishing its manifest
+    (merge-prefixed, unmanifested) are swept by the next commit, so
+    plain spark.read.parquet readers stop seeing the phantom rows."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "t")
+    a = spark.createDataFrame([("d1", 1), ("d2", 2)], "doc_id string, v int")
+    assert merge_append_table(a, out) == 2
+    committed_file = max(  # largest part file => definitely carries rows
+        (f for f in os.listdir(out) if f.startswith("merge-") and f.endswith(".parquet")),
+        key=lambda f: os.path.getsize(os.path.join(out, f)),
+    )
+    orphan = os.path.join(out, "merge-deadbeef0000-part-orphan.parquet")
+    shutil.copy(os.path.join(out, committed_file), orphan)  # simulated crash
+    spark.catalog.refreshByPath(out)
+    assert spark.read.parquet(out).count() > 2  # phantom rows visible...
+    b = spark.createDataFrame([("d3", 3)], "doc_id string, v int")
+    assert merge_append_table(b, out) == 1  # ...until the next commit GCs
+    assert not os.path.exists(orphan)
+    assert spark.read.parquet(out).count() == 3
+
+
+def test_compaction_preserves_merge_semantics(spark, tmp_path):
+    """compact_table on a MERGE-committed table must keep the committed
+    key set: a replay after compaction is still a no-op, and the
+    snapshot log stays readable (round 2's swap destroyed _commits and
+    re-admitted every key)."""
+    from docling_fast_server_spark.sources.io import compact_table, list_snapshots
+
+    out = str(tmp_path / "t")
+    a = spark.createDataFrame([(f"d{i}", i) for i in range(8)], "doc_id string, v int")
+    assert merge_append_table(a, out) == 8
+    compact_table(spark, out, 2)
+    assert spark.read.parquet(out).count() == 8
+    assert merge_append_table(a, out) == 0  # keys survived the rewrite
+    snaps = list_snapshots(out)
+    assert snaps and snaps[-1]["n_keys"] == 8
+    from docling_fast_server_spark.sources.io import read_table_asof
+
+    assert read_table_asof(spark, out, snaps[-1]["seq"]).count() == 8
+
+
+def test_retention_delete_readmits_deleted_keys(spark, tmp_path):
+    """Row-level DELETE on a merge table removes the rows AND their keys
+    (Iceberg semantics: a later MERGE re-inserts a deleted key)."""
+    from docling_fast_server_spark.sources.io import retention_delete
+
+    out = str(tmp_path / "t")
+    a = spark.createDataFrame([(f"d{i}", i) for i in range(6)], "doc_id string, v int")
+    assert merge_append_table(a, out) == 6
+    n_del = retention_delete(spark, out, "v >= 3")
+    assert n_del == 3
+    assert merge_append_table(a, out) == 3  # deleted keys re-admit; kept keys don't
+    assert spark.read.parquet(out).count() == 6
+    assert _dup_count(spark, out) == 0
