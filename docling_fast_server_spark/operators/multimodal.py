@@ -91,13 +91,21 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
+def extract_media_features(media: DataFrame, decoder=None) -> DataFrame:
     """Media table -> per-media features via mapInPandas (Arrow-batched;
-    one Python worker init per executor — the warmup pattern)."""
+    one Python worker init per executor — the warmup pattern).
+
+    `decoder` is the production swap-in seam: any callable
+    (payloads: pd.Series) -> pd.DataFrame[width, height, checksum] — a
+    PIL/libvips batch decoder in production, the deterministic
+    FAKE_DECODE stand-in by default. The seam is itself tested with an
+    injected decoder (test_multimodal.test_decoder_injection_seam), so
+    swapping the real one in changes no Spark-side code."""
+    decode = decoder or _decode_image_batch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _decode_image_batch(pdf["payload"])
+            feats = decode(pdf["payload"])
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
@@ -218,6 +226,7 @@ def transform_media(
     max_dim: int = RESIZE_MAX_DIM,
     frame_bytes: int = FRAME_BYTES,
     stride: int = FRAME_STRIDE,
+    decoder=None,
 ) -> DataFrame:
     """Resize geometry + frame sampling in ONE Arrow-batched pass (the
     per-payload work shares the decode, and a single registry row keeps
@@ -226,10 +235,12 @@ def transform_media(
     and 52, the only two operators the gate never checked). Same
     integer-exact semantics as resize_media + frame_sample."""
 
+    decode = decoder or _decode_image_batch
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in TRANSFORMS_SCHEMA.fields]
         for pdf in batches:
-            feats = _decode_image_batch(pdf["payload"])
+            feats = decode(pdf["payload"])
             out = {k: [] for k in cols}
             for ref, p, w, h in zip(pdf["media_ref"], pdf["payload"], feats["width"], feats["height"]):
                 w, h = int(w), int(h)
