@@ -249,8 +249,15 @@ def q_dedup_minhash(spark, sf_dir):
     |A∩B| rows per candidate pair, never |A|x|B|."""
     corpus = mutated_corpus(spark, sf_dir)
     # the hash-set df feeds signatures, sizes, and both sides of the
-    # intersection join — persist once instead of re-deriving per consumer
-    hsdf = _doc_hashsets(corpus).persist()
+    # intersection join — persist once instead of re-running the fold
+    # per consumer. MEMORY_AND_DISK: hash sets are ~10% of corpus bytes
+    # and spill instead of OOMing at scale. Lifecycle: freed by the
+    # caller's session hygiene (bench clears the cache between headline
+    # queries; a lazily returned DataFrame cannot unpersist itself
+    # before the caller's action runs).
+    from pyspark import StorageLevel
+
+    hsdf = _doc_hashsets(corpus).persist(StorageLevel.MEMORY_AND_DISK)
     def _sig_col(j: int):
         # a plain closure: a `lambda h, j=j` would have two parameters and
         # PySpark would bind the second to the array index column
@@ -585,7 +592,9 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     prior run, an external blocker, a human queue). One shuffle join per
     side on the int64 hash; never all-pairs."""
     corpus = mutated_corpus(spark, sf_dir)
-    hsdf = _doc_hashsets(corpus).persist()
+    from pyspark import StorageLevel
+
+    hsdf = _doc_hashsets(corpus).persist(StorageLevel.MEMORY_AND_DISK)  # see q_dedup_minhash
     pairs = (
         hsdf.filter((F.col("doc_id") >= NEAR_STEP) & (F.col("doc_id") < EXACT_STEP))
         .select(

@@ -69,6 +69,10 @@ def test_chunking_single_shuffle(spark, sf_dir):
     plan = _plan(chunk_spans(extract_all(spark, sf_dir)))
     assert "BatchEvalPython" not in plan
     assert plan.count("hashpartitioning(doc_id") >= 1
+    # BPE-budget variant keeps the same shape: JVM-side, doc_id-partitioned
+    bpe = _plan(chunk_spans(extract_all(spark, sf_dir), budget=10, tokenizer="bpe"))
+    assert "BatchEvalPython" not in bpe
+    assert bpe.count("hashpartitioning(doc_id") >= 1
 
 
 def test_scan_pushdown(spark, sf_dir):
