@@ -28,8 +28,8 @@ exactly reproducible by the DuckDB oracle:
             distinct set); all 32 bit-stream sums happen in ONE
             groupBy(doc_id) — no k-way crossJoin row blowup.
 - ngram-jaccard: exact hash-set Jaccard on LSH candidates (the verify
-            stage alone — the oracle joins on the same int64 hash, so
-            parity holds even under hash collisions).
+            stage alone — both engines intersect the same int64 hash
+            sets, so parity holds even under hash collisions).
 - embedding near-dup: cosine within random-hyperplane LSH buckets (the
   same deterministic planes as similarity.py) — no within-label all-pairs.
 
@@ -239,14 +239,41 @@ def _uhash_sql(j: int, col: str) -> str:
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding + exact-Jaccard verify
 # ---------------------------------------------------------------------------
+def _verify_jaccard(hsdf: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact hash-set Jaccard for an explicit (doc_a, doc_b) pair list:
+    join each side's hash SET array to the pair and intersect NARROWLY
+    (array_intersect — O(|A|+|B|) per pair, one output row per pair).
+    Verify cost is proportional to the CANDIDATE count, not the corpus:
+    the round-2 shape exploded every document's hash set into (doc_id,
+    hash) rows and re-aggregated — two corpus-wide explode shuffles per
+    run even when candidates were rare. The pair side is tiny relative
+    to the corpus, so AQE broadcast-joins it against the hash sets and
+    the hsdf side never shuffles. Output (doc_a, doc_b, jaccard),
+    unfiltered."""
+    hs_a = hsdf.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
+    hs_b = hsdf.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
+    shared = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+    return (
+        pairs.join(hs_a, "doc_a")
+        .join(hs_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                shared / (F.size("hs_a") + F.size("hs_b") - shared), 4
+            ).alias("jaccard"),
+        )
+    )
+
+
 def q_dedup_minhash(spark, sf_dir):
     """LSH candidate pairs verified by exact (hash-set) Jaccard >=
     threshold. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
 
     Plan shape: signatures are narrow (array_min of a transform over the
-    per-doc hash set); the shuffles are (1) the band-bucket self-join on
-    (band, key) and (2) the candidate verify joins, whose intermediate is
-    |A∩B| rows per candidate pair, never |A|x|B|."""
+    per-doc hash set); the only corpus-wide shuffle is the band-bucket
+    self-join on (band, key); verification is per-candidate-pair
+    array_intersect (_verify_jaccard)."""
     corpus = mutated_corpus(spark, sf_dir)
     # the hash-set df feeds signatures, sizes, and both sides of the
     # intersection join — persist once instead of re-running the fold
@@ -263,11 +290,7 @@ def q_dedup_minhash(spark, sf_dir):
         # PySpark would bind the second to the array index column
         return F.array_min(F.transform(F.col("hs"), lambda h: _uhash(j, h))).alias(f"h{j}")
 
-    sig = hsdf.select(
-        "doc_id",
-        F.size("hs").cast("long").alias("n"),
-        *[_sig_col(j) for j in range(MINHASH_K)],
-    )
+    sig = hsdf.select("doc_id", *[_sig_col(j) for j in range(MINHASH_K)])
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -287,28 +310,9 @@ def q_dedup_minhash(spark, sf_dir):
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sig.select("doc_id", "n")
-    # shared-hash count: join candidate pairs to both hash sets so the
-    # intermediate is |A∩B| rows per pair; the oracle joins on the same
-    # int64 hash, so parity holds even under hash collisions
-    rk = hsdf.select("doc_id", F.explode("hs").alias("r"))
-    shared = (
-        cand.join(rk.select(F.col("doc_id").alias("doc_a"), "r"), "doc_a")
-        .join(rk.select(F.col("doc_id").alias("doc_b"), "r"), ["doc_b", "r"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    return _verify_jaccard(hsdf, cand).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
-    out = (
-        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 4),
-        )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
-    )
-    return out
 
 
 _SIG_COLS_SQL = ",\n               ".join(
@@ -328,36 +332,40 @@ _BANDS_SQL = "\n        UNION ALL\n        ".join(
     for b in range(N_BANDS)
 )
 
+# per-pair exact Jaccard via list_intersect — the SQL twin of
+# _verify_jaccard (expects hsets + a pairs(doc_a, doc_b) CTE)
+_VERIFY_SQL = """
+    verified AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_shared,
+               CAST(len(a.hs) AS BIGINT) AS na, CAST(len(b.hs) AS BIGINT) AS nb
+        FROM pairs p
+        JOIN hsets a ON a.doc_id = p.doc_a
+        JOIN hsets b ON b.doc_id = p.doc_b
+    )
+"""
+
 ORACLE_DEDUP_MINHASH = f"""
     WITH corpus AS ({MUTATED_SQL}),
     hsets AS ({HASHSETS_SQL}),
     sig AS (
-        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n,
+        SELECT doc_id,
                {_SIG_COLS_SQL}
         FROM hsets
     ),
     bands AS (
         {_BANDS_SQL}
     ),
-    cand AS (
+    pairs AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
         WHERE x.doc_id < y.doc_id
     ),
-    rk AS (SELECT doc_id, unnest(hs) AS r FROM hsets),
-    shared AS (
-        SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_shared
-        FROM cand c
-        JOIN rk sa ON sa.doc_id = c.doc_a
-        JOIN rk sb ON sb.doc_id = c.doc_b AND sb.r = sa.r
-        GROUP BY c.doc_a, c.doc_b
-    )
-    SELECT s.doc_a, s.doc_b,
-           round(CAST(s.n_shared AS DOUBLE) / (za.n + zb.n - s.n_shared), 4) AS jaccard
-    FROM shared s
-    JOIN sig za ON za.doc_id = s.doc_a
-    JOIN sig zb ON zb.doc_id = s.doc_b
-    WHERE round(CAST(s.n_shared AS DOUBLE) / (za.n + zb.n - s.n_shared), 4) >= {JACCARD_THRESHOLD}
+    {_VERIFY_SQL}
+    SELECT doc_a, doc_b,
+           round(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) AS jaccard
+    FROM verified
+    WHERE round(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -587,10 +595,11 @@ ORACLE_DEDUP_EMBEDDING = _oracle_dedup_embedding()
 # ---------------------------------------------------------------------------
 def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact shingle-hash-set Jaccard for every (base, mutated-copy) pair
-    — the LSH verify stage as a standalone operator over an explicit pair
+    — the verify stage as a standalone operator over an explicit pair
     list (the shape used when candidate pairs come from elsewhere: a
-    prior run, an external blocker, a human queue). One shuffle join per
-    side on the int64 hash; never all-pairs."""
+    prior run, an external blocker, a human queue). Per-pair
+    array_intersect; verify cost proportional to the pair count
+    (_verify_jaccard), never all-pairs and never a corpus-wide explode."""
     corpus = mutated_corpus(spark, sf_dir)
     from pyspark import StorageLevel
 
@@ -602,23 +611,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
             F.col("doc_id").alias("doc_b"),
         )
     )
-    rk = hsdf.select("doc_id", F.explode("hs").alias("r"))
-    sizes = hsdf.select("doc_id", F.size("hs").cast("long").alias("n"))
-    shared = (
-        pairs.join(rk.select(F.col("doc_id").alias("doc_a"), "r"), "doc_a")
-        .join(rk.select(F.col("doc_id").alias("doc_b"), "r"), ["doc_b", "r"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-    )
-    return (
-        shared.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 4).alias("jaccard"),
-        )
-    )
+    return _verify_jaccard(hsdf, pairs)
 
 
 ORACLE_DEDUP_NGRAM_JACCARD = f"""
@@ -628,20 +621,10 @@ ORACLE_DEDUP_NGRAM_JACCARD = f"""
         SELECT doc_id - {NEAR_STEP} AS doc_a, doc_id AS doc_b
         FROM hsets WHERE doc_id >= {NEAR_STEP} AND doc_id < {EXACT_STEP}
     ),
-    rk AS (SELECT doc_id, unnest(hs) AS r FROM hsets),
-    sizes AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n FROM hsets),
-    shared AS (
-        SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_shared
-        FROM pairs p
-        JOIN rk sa ON sa.doc_id = p.doc_a
-        JOIN rk sb ON sb.doc_id = p.doc_b AND sb.r = sa.r
-        GROUP BY p.doc_a, p.doc_b
-    )
-    SELECT s.doc_a, s.doc_b,
-           round(CAST(s.n_shared AS DOUBLE) / (za.n + zb.n - s.n_shared), 4) AS jaccard
-    FROM shared s
-    JOIN sizes za ON za.doc_id = s.doc_a
-    JOIN sizes zb ON zb.doc_id = s.doc_b
+    {_VERIFY_SQL}
+    SELECT doc_a, doc_b,
+           round(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) AS jaccard
+    FROM verified
 """
 
 
