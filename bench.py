@@ -210,7 +210,10 @@ def main() -> None:
 
     os.makedirs(SCRATCH, exist_ok=True)
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
-    raw_path = os.path.join(SCRATCH, f"raw_{sf_name}_x{REPLICATE}")
+    # cache paths encode the partition count too — the exists-check would
+    # otherwise reuse a corpus written with a different file census and
+    # silently skew the per-task-size-controlled weak-scaling rungs
+    raw_path = os.path.join(SCRATCH, f"raw_{sf_name}_x{REPLICATE}_p{CPUS * 4}")
     _materialize_raw(raw_path, REPLICATE)
     spread_dir = os.path.join(SCRATCH, f"spread_{sf_name}")
     _materialize_spread_sf(spread_dir)
@@ -267,12 +270,13 @@ def main() -> None:
         for c in (8, 2):
             if c < CPUS:
                 rep_c = max(REPLICATE * c // CPUS, 1)
-                raw_c = os.path.join(SCRATCH, f"raw_{sf_name}_x{rep_c}")
                 # files scale WITH the corpus so per-task work matches the
                 # big-corpus run (weak scaling holds work per core AND per
                 # task constant; tiny files would re-introduce per-task
                 # Python round-trip overhead as a confounder)
-                _materialize_raw(raw_c, rep_c, partitions=max(CPUS * 4 * rep_c // REPLICATE, c * 2))
+                parts_c = max(CPUS * 4 * rep_c // REPLICATE, c * 2)
+                raw_c = os.path.join(SCRATCH, f"raw_{sf_name}_x{rep_c}_p{parts_c}")
+                _materialize_raw(raw_c, rep_c, partitions=parts_c)
                 t_c, n_c = _time_extraction(c, raw_c)
                 weak_ladder[c] = {"thr": n_c / t_c, "n_docs": n_c}
         weak_pairs = {}

@@ -7,10 +7,11 @@ At corpus scale those become the classic dedup family, implemented
 relationally so every variant is Catalyst-optimized, shuffle-aware and
 exactly reproducible by the DuckDB oracle:
 
-- exact:    content-hash groupBy on a PAIR of independent polynomial
-            hashes (~60 combined bits), keep min(doc_id) (J1/J2 analog)
-            — ONE map-side-combinable aggregation, no join, and full text
-            never appears in ANY exchange (plan-asserted)
+- exact:    content-hash groupBy on a PAIR of independent 56-bit
+            polynomial hashes (~112 combined bits; false-merge math at
+            EXACT_P1), keep min(doc_id) (J1/J2 analog) — ONE map-side-
+            combinable aggregation, no join, and full text never
+            appears in ANY exchange (plan-asserted)
 - minhash:  per-document distinct shingle-hash SET computed entirely with
             higher-order functions (split -> transform -> poly byte hash
             -> array_distinct): a NARROW projection, no explode, no
@@ -58,8 +59,13 @@ MIX = 2_654_435_761  # Knuth multiplicative mix; applied as (x % P) *
 MIXP = MIX % P_HASH  # = 427_799
 POLY_B = 131  # polynomial byte-hash base (Horner fold over characters)
 POLY_P = 1_000_000_007  # fold modulus: acc*131 + 255 < 2^37, int64-safe
-POLY_B2 = 257  # second, independent fold (exact-dedup verify key):
-POLY_P2 = 998_244_353  # acc*257 + 255 < 2^38, int64-safe
+# exact-dedup content-hash pair: two 56-bit primes (the LARGEST primes
+# whose fold stays int64-exact: acc*base + 255 <= 2^63 - 1 on both
+# engines — Miller-Rabin-verified), giving ~112 combined bits. Expected
+# false merges at 10^12 docs: (1e24/2) * 2^-112 ≈ 1e-10 — a ~60-bit pair
+# would instead produce ~1e5 silently merged distinct documents there.
+EXACT_B1, EXACT_P1 = 131, 70_407_420_128_662_391
+EXACT_B2, EXACT_P2 = 137, 67_323_883_480_691_753
 MINHASH_K = 8
 BAND_ROWS = 4  # 2 bands x 4 rows: collision prob per band = s^4, which
 # keeps candidate sets small even on overlap-heavy corpora (tiny shared
@@ -114,19 +120,20 @@ MUTATED_SQL = f"""
 def q_dedup_exact(spark, sf_dir):
     """Groups of identical content: (keeper_doc_id, n_docs), n_docs > 1.
 
-    Content-hash dedup on a PAIR of independent polynomial hashes
-    (~60 bits of discrimination combined): ONE map-side-combinable
-    groupBy over two int64 keys — no join, and full text never appears
-    in any exchange (round 2's verify stage grouped candidates by raw
-    text; the two-hash key removes even that shuffle, the standard
-    content-hash discipline at corpus scale). The oracle reproduces both
-    hash folds bit-exactly, so even a double-collision — two texts
-    agreeing on BOTH hashes — merges identically on both engines."""
+    Content-hash dedup on a PAIR of independent 56-bit polynomial hashes
+    (~112 bits combined — see EXACT_P1/EXACT_P2 for the false-merge
+    math): ONE map-side-combinable groupBy over two int64 keys — no
+    join, and full text never appears in any exchange (round 2's verify
+    stage grouped candidates by raw text; the two-hash key removes even
+    that shuffle, the standard content-hash discipline at corpus scale).
+    The oracle reproduces both hash folds bit-exactly, so even an
+    astronomically unlikely double-collision merges identically on both
+    engines."""
     corpus = mutated_corpus(spark, sf_dir)
     keyed = corpus.select(
         "doc_id",
-        poly_hash(F.col("text")).alias("h"),
-        poly_hash(F.col("text"), POLY_B2, POLY_P2).alias("h2"),
+        poly_hash(F.col("text"), EXACT_B1, EXACT_P1).alias("h"),
+        poly_hash(F.col("text"), EXACT_B2, EXACT_P2).alias("h2"),
     )
     return (
         keyed.groupBy("h", "h2")
@@ -142,8 +149,8 @@ def q_dedup_exact(spark, sf_dir):
 def _oracle_dedup_exact() -> str:
     return f"""
     WITH corpus AS ({MUTATED_SQL}),
-    hashed AS (SELECT doc_id, {poly_hash_sql('text')} AS h,
-                      {poly_hash_sql('text', POLY_B2, POLY_P2)} AS h2
+    hashed AS (SELECT doc_id, {poly_hash_sql('text', EXACT_B1, EXACT_P1)} AS h,
+                      {poly_hash_sql('text', EXACT_B2, EXACT_P2)} AS h2
                FROM corpus)
     SELECT min(doc_id) AS keeper_doc_id, CAST(count(*) AS BIGINT) AS n_docs
     FROM hashed GROUP BY h, h2 HAVING count(*) > 1

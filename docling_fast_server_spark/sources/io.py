@@ -105,10 +105,26 @@ def _commit_lock(commits_dir: str):
       LOCK_STALE_S/10 while held, so a live holder is never stolen no
       matter how long its under-lock Spark work runs; only a truly
       crashed holder's lock ages past LOCK_STALE_S.
-    - RELEASE = guarded by an owner token file inside the lock dir: if
-      the lock WAS stolen (a stall beyond LOCK_STALE_S froze the
-      heartbeat thread too), the token vanished with the rename, the
-      release becomes a no-op, and the thief's lock is left intact."""
+    - STEAL DOUBLE-CHECK = the staleness decision is re-validated on the
+      very inode the rename captured: after winning the rename, the
+      stealer stats the TOMBSTONE's mtime — if it is fresh, the victim
+      had re-acquired between the stealer's first stat and its rename
+      (the classic TOCTOU), so the tombstone is renamed straight back
+      and the victim never notices. Only a tombstone that is itself
+      stale gets destroyed. The residual window (a third waiter mkdirs
+      during the microseconds the path is absent AND the rename-back
+      then fails) requires a >5-minute deschedule landing inside a
+      two-syscall gap; it is closed for the data by FENCING below.
+    - FENCING = the context yields a `held()` callable that raises if
+      the owner token is gone (lock stolen during a stall that froze
+      the heartbeat too). Callers invoke it immediately before their
+      irreversible publish step (manifest write / manifest delete), so
+      a stolen holder aborts instead of corrupting the table — the
+      sandbox stand-in for the compare-and-swap an Iceberg catalog does
+      natively on the production path.
+    - RELEASE = guarded by the same owner token: if the lock was
+      stolen, the token vanished with the rename, the release becomes a
+      no-op, and the thief's lock is left intact."""
     import shutil
     import threading
     import time
@@ -131,10 +147,30 @@ def _commit_lock(commits_dir: str):
                     except OSError:
                         pass  # lost the steal race or lock released
                     else:
-                        shutil.rmtree(tomb, ignore_errors=True)
+                        try:
+                            still_stale = (
+                                time.time() - os.path.getmtime(tomb) > LOCK_STALE_S
+                            )
+                        except OSError:
+                            still_stale = True
+                        if still_stale:
+                            shutil.rmtree(tomb, ignore_errors=True)
+                        else:  # TOCTOU: we renamed a LIVE lock — restore it
+                            try:
+                                os.rename(tomb, lock)
+                            except OSError:  # pragma: no cover — a third
+                                # waiter mkdir'd in the gap; drop the tomb
+                                # (the displaced holder's held() fencing
+                                # aborts it before any publish)
+                                shutil.rmtree(tomb, ignore_errors=True)
                     continue
             except OSError:
                 pass  # lock released or stolen between the checks
+            time.sleep(0.05)
+        except FileNotFoundError:
+            # commits_dir itself vanished (a concurrent _swap_table is
+            # mid-rename); recreate and keep waiting
+            os.makedirs(commits_dir, exist_ok=True)
             time.sleep(0.05)
     stop = threading.Event()
 
@@ -147,8 +183,16 @@ def _commit_lock(commits_dir: str):
 
     hb = threading.Thread(target=_beat, daemon=True)
     hb.start()
+
+    def held() -> None:
+        if not os.path.exists(os.path.join(lock, token)):  # pragma: no cover
+            raise RuntimeError(
+                f"commit lock {lock} was stolen (holder stalled past "
+                f"{LOCK_STALE_S}s); aborting before publish"
+            )
+
     try:
-        yield
+        yield held
     finally:
         stop.set()
         hb.join(timeout=2)
@@ -196,6 +240,14 @@ def _committed_keys_df(spark: SparkSession, commits_dir: str, entries: list[dict
     ever passes through the driver: round 2 pulled every committed key
     into a Python set and rebuilt a DataFrame from it driver-side,
     which caps the protocol at driver memory."""
+    legacy = [e for e in entries if "keys" in e and "key_files" not in e]
+    if legacy:  # pragma: no cover — defensive: silently treating a
+        # pre-key-file table as empty would re-admit every committed key
+        raise ValueError(
+            f"{commits_dir}: {len(legacy)} manifest(s) use the legacy "
+            "inline-keys format; rewrite them as key parquet files "
+            "before merging into this table"
+        )
     paths = [
         os.path.join(_keys_dir(commits_dir), f)
         for e in entries
@@ -236,7 +288,7 @@ def list_snapshots(path: str) -> list[dict]:
             "seq": e["seq"],
             "commit_id": e["commit_id"],
             "n_files": len(e["files"]),
-            "n_keys": e["n_keys"],
+            "n_keys": e.get("n_keys", len(e.get("keys", []))),
         }
         for e in _read_manifests(os.path.join(path, "_commits"))
     ]
@@ -266,8 +318,9 @@ def rollback_table(spark: SparkSession, path: str, seq: int) -> int:
     documents. The Iceberg `rollback_to_snapshot` analog. Returns the
     number of commits removed."""
     commits_dir = os.path.join(path, "_commits")
-    with _commit_lock(commits_dir):
+    with _commit_lock(commits_dir) as held:
         doomed = [e for e in _read_manifests(commits_dir) if e["seq"] > seq]
+        held()  # fencing: abort before the destructive phase if stolen
         for e in doomed:
             for f in e["files"]:
                 fp = os.path.join(path, f)
@@ -291,10 +344,11 @@ def expire_snapshots(path: str, keep_last: int = 1) -> int:
     import uuid as _uuid
 
     commits_dir = os.path.join(path, "_commits")
-    with _commit_lock(commits_dir):
+    with _commit_lock(commits_dir) as held:
         entries = _read_manifests(commits_dir)
         if len(entries) <= max(keep_last, 1):
             return 0
+        held()  # fencing: abort before rewriting manifests if stolen
         old = entries[: len(entries) - keep_last] if keep_last > 0 else entries
         base = {
             "seq": old[-1]["seq"],
@@ -303,7 +357,7 @@ def expire_snapshots(path: str, keep_last: int = 1) -> int:
             "key_files": sorted(f for e in old for f in e.get("key_files", [])),
             # commits admit only never-seen keys, so per-commit key sets
             # are disjoint and the merged count is exact
-            "n_keys": sum(e["n_keys"] for e in old),
+            "n_keys": sum(e.get("n_keys", len(e.get("keys", []))) for e in old),
             "key": old[-1].get("key", "doc_id"),
         }
         for e in old:
@@ -369,7 +423,7 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
     df.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
 
-    with _commit_lock(commits_dir):
+    with _commit_lock(commits_dir) as held:
         entries = _read_manifests(commits_dir)
         _gc_uncommitted(path, commits_dir, entries)
         staged_keys = staged.select(key).distinct()
@@ -390,6 +444,8 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
             src_dir = filtered
         n_rows = spark.read.parquet(src_dir).count()
         commit_id = _uuid.uuid4().hex[:12]
+        held()  # fencing: nothing irreversible has happened yet — if the
+        # lock was stolen during the Spark work above, abort cleanly
         # this commit's key set, written distributed and renamed in
         kstage = tempfile.mkdtemp(prefix=".dfss-kstage-", dir=path)
         spark.read.parquet(src_dir).select(key).distinct().write.mode(
@@ -433,27 +489,35 @@ def overwrite_table(df: DataFrame, path: str) -> None:
         df.write.mode("overwrite").parquet(path)
 
 
-def _swap_table(spark: SparkSession, path: str, write_staging) -> None:
-    """Replace the table at `path` with whatever `write_staging(dir)`
-    produces, crash-safely: staging is created UNDER THE TABLE'S PARENT
-    (same filesystem, so the swap is two true renames, never a
-    non-atomic cross-device copy), the old table is renamed aside before
-    the new one is renamed in, and the old copy is deleted LAST — a crash
-    at any point leaves either the old or the new table intact and a
-    recoverable `.dfss-old-*` copy on disk. (Round 1 did
-    rmtree(path); move(staging, path) — a crash between the two destroyed
-    the table.)
+def _swap_table(spark: SparkSession, path: str, transform) -> tuple[int, int]:
+    """Replace the table at `path` with `transform(df)` of its current
+    contents, crash-safely, returning (rows_before, rows_after).
+    Staging is created UNDER THE TABLE'S PARENT (same filesystem, so the
+    swap is two true renames, never a non-atomic cross-device copy), the
+    old table is renamed aside before the new one is renamed in, and the
+    old copy is deleted LAST — a crash at any point leaves either the
+    old or the new table intact and a recoverable `.dfss-old-*` copy on
+    disk. (Round 1 did rmtree(path); move(staging, path) — a crash
+    between the two destroyed the table.)
 
     MERGE-committed tables (path/_commits exists) keep their merge
-    semantics through the swap: under the commit lock, the rewritten
-    files are renamed to merge-prefixed names and a fresh BASE manifest
-    is emitted whose key parquet is RECOMPUTED from the rewritten data
-    (the manifests record the key column). So compaction preserves the
-    committed key set exactly, while a retention delete that drops rows
-    also re-admits their keys — matching Iceberg, where a MERGE inserts
-    any key a DELETE removed. Round 2 silently destroyed _commits here,
-    after which every previously committed key re-merged as a duplicate
-    and snapshot reads pointed at deleted files."""
+    semantics through the swap, and the ENTIRE read-transform-publish
+    runs under the commit lock:
+    - the input df is built from the MANIFESTED files only, after a GC
+      of crashed-commit orphans — so a writer that crashed mid-rename
+      can never smuggle its unmanifested duplicate rows into the new
+      base manifest, and a merge commit landing concurrently cannot be
+      erased (it either precedes the in-lock listing and is included,
+      or waits for the lock and lands on the swapped table);
+    - the rewritten files get merge-prefixed names and a fresh BASE
+      manifest whose key parquet is RECOMPUTED from the rewritten data
+      (the manifests record the key column). Compaction therefore
+      preserves the committed key set exactly, while a retention delete
+      that drops rows also re-admits their keys — matching Iceberg,
+      where a MERGE inserts any key a DELETE removed. Round 2 silently
+      destroyed _commits here (re-admitting every key as a duplicate)
+      and read the table OUTSIDE the lock (promoting crashed-commit
+      orphans and racing concurrent commits)."""
     import shutil
     import tempfile
     import uuid as _uuid
@@ -472,16 +536,27 @@ def _swap_table(spark: SparkSession, path: str, write_staging) -> None:
         spark.catalog.refreshByPath(abs_path)
 
     if not merged:
+        df = spark.read.parquet(abs_path)
+        n_before = df.count()
         staging = tempfile.mkdtemp(prefix=".dfss-staging-", dir=parent)
-        write_staging(staging)
+        transform(df).write.mode("overwrite").parquet(staging)
+        n_after = spark.read.parquet(staging).count()
         _swap(staging)
-        return
+        return n_before, n_after
 
-    with _commit_lock(commits_dir):
+    with _commit_lock(commits_dir) as held:
         entries = _read_manifests(commits_dir)
+        _gc_uncommitted(abs_path, commits_dir, entries)
         key = entries[-1].get("key", "doc_id") if entries else "doc_id"
+        if entries:
+            df = spark.read.parquet(
+                *[os.path.join(abs_path, f) for e in entries for f in e["files"]]
+            )
+        else:
+            df = spark.read.parquet(abs_path)
+        n_before = df.count()
         staging = tempfile.mkdtemp(prefix=".dfss-staging-", dir=parent)
-        write_staging(staging)
+        transform(df).write.mode("overwrite").parquet(staging)
         commit_id = _uuid.uuid4().hex[:12]
         data_files = []
         for f in sorted(os.listdir(staging)):
@@ -492,9 +567,9 @@ def _swap_table(spark: SparkSession, path: str, write_staging) -> None:
         new_commits = os.path.join(staging, "_commits")
         os.makedirs(_keys_dir(new_commits), exist_ok=True)
         kstage = tempfile.mkdtemp(prefix=".dfss-kstage-", dir=staging)
-        spark.read.parquet(
-            *[os.path.join(staging, f) for f in data_files]
-        ).select(key).distinct().write.mode("overwrite").parquet(kstage)
+        new_data = spark.read.parquet(*[os.path.join(staging, f) for f in data_files])
+        n_after = new_data.count()
+        new_data.select(key).distinct().write.mode("overwrite").parquet(kstage)
         key_files = []
         n_keys = spark.read.parquet(kstage).count()
         for f in sorted(os.listdir(kstage)):
@@ -514,10 +589,12 @@ def _swap_table(spark: SparkSession, path: str, write_staging) -> None:
                 "key": key,
             },
         )
+        held()  # fencing: abort before the swap publishes if stolen
         _swap(staging)
         # the lock dir was swapped away with the old table; releasing is
         # a no-op (the token vanished), which is exactly correct: the new
         # table starts unlocked
+        return n_before, n_after
 
 
 def retention_delete(spark: SparkSession, path: str, predicate: str) -> int:
@@ -527,23 +604,16 @@ def retention_delete(spark: SparkSession, path: str, predicate: str) -> int:
     job_db.py:241-260 `DELETE FROM jobs WHERE created_at < ?`).
 
     Iceberg: `DELETE FROM t WHERE ...` (position deletes + snapshot).
-    Parquet fallback: rewrite keep-side to a staging dir, rename swap.
-    Returns number of rows deleted."""
-    df = read_table(spark, path)
+    Parquet fallback: rewrite keep-side to a staging dir, rename swap
+    (for merge tables the read-transform-publish runs under the commit
+    lock inside _swap_table). Returns number of rows deleted."""
     if _has_iceberg(spark) and not path.startswith("/"):
+        df = read_table(spark, path)
         n = df.filter(predicate).count()
         spark.sql(f"DELETE FROM {path} WHERE {predicate}")
         return n
-    total = df.count()
-    keep = df.filter(f"NOT ({predicate})")
-    kept_box = {}
-
-    def _write(staging: str) -> None:
-        keep.write.mode("overwrite").parquet(staging)
-        kept_box["n"] = spark.read.parquet(staging).count()
-
-    _swap_table(spark, path, _write)
-    return total - kept_box["n"]
+    n_before, n_after = _swap_table(spark, path, lambda df: df.filter(f"NOT ({predicate})"))
+    return n_before - n_after
 
 
 def compact_table(spark: SparkSession, path: str, target_files: int) -> int:
@@ -553,12 +623,7 @@ def compact_table(spark: SparkSession, path: str, target_files: int) -> int:
     Returns the new file count."""
     import os as _os
 
-    df = read_table(spark, path)
-    _swap_table(
-        spark,
-        path,
-        lambda staging: df.coalesce(target_files).write.mode("overwrite").parquet(staging),
-    )
+    _swap_table(spark, path, lambda df: df.coalesce(target_files))
     return sum(1 for f in _os.listdir(path) if f.endswith(".parquet"))
 
 

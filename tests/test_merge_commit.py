@@ -153,3 +153,28 @@ def test_retention_delete_readmits_deleted_keys(spark, tmp_path):
     assert merge_append_table(a, out) == 3  # deleted keys re-admit; kept keys don't
     assert spark.read.parquet(out).count() == 6
     assert _dup_count(spark, out) == 0
+
+
+def test_compaction_does_not_promote_crashed_commit_orphans(spark, tmp_path):
+    """A crashed writer's unmanifested merge-* files must NOT be swept
+    into the base manifest when the table is compacted: the rewrite
+    reads manifested files only (after GC), so the phantom rows vanish
+    instead of becoming permanently committed duplicates."""
+    import os
+    import shutil
+
+    from docling_fast_server_spark.sources.io import compact_table
+
+    out = str(tmp_path / "t")
+    a = spark.createDataFrame([(f"d{i}", i) for i in range(4)], "doc_id string, v int")
+    assert merge_append_table(a, out) == 4
+    committed_file = max(
+        (f for f in os.listdir(out) if f.startswith("merge-") and f.endswith(".parquet")),
+        key=lambda f: os.path.getsize(os.path.join(out, f)),
+    )
+    orphan = os.path.join(out, "merge-deadbeef0000-part-orphan.parquet")
+    shutil.copy(os.path.join(out, committed_file), orphan)  # simulated crash
+    compact_table(spark, out, 2)
+    assert spark.read.parquet(out).count() == 4  # phantoms not promoted
+    assert _dup_count(spark, out) == 0
+    assert merge_append_table(a, out) == 0  # replay still a no-op
