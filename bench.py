@@ -53,6 +53,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+SCALE_REPS = REPS + 2  # scaling rungs feed an efficiency RATIO, where a
+# single stalled rep distorts two pairs at once — spend extra reps there
 SCRATCH = os.environ.get("SPARK_GRAFT_BENCH_SCRATCH", "/tmp/dfss_bench")
 
 HEADLINE = [
@@ -191,7 +193,7 @@ def _time_extraction(cores: int, raw_path: str) -> tuple[float, int]:
         extract_auto(raw).write.format("noop").mode("overwrite").save()
 
         best = float("inf")
-        for _ in range(REPS):
+        for _ in range(SCALE_REPS):
             t0 = time.time()
             extract_auto(raw).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
@@ -250,24 +252,34 @@ def main() -> None:
     # scaling evidence, strictly sequential sessions:
     # strong = fixed corpus across core counts; weak = corpus replicate
     # proportional to cores (constant work per core).
+    # rungs 4/8/16/32 give TWO independent N->4N pairs (4->16, 8->32).
+    # The 4->16 pair is the robust criterion witness on a shared-host
+    # sandbox: a few cores of neighbor load shave ~10%+ off a 32-core
+    # rung (all cores claimed) while a 16-core rung keeps spare cores —
+    # loadavg is recorded per rung so depressed numbers are explainable.
+    load0 = round(os.getloadavg()[0], 2)
     t_hi, n_docs = _time_extraction(CPUS, raw_path)
     thr_hi = n_docs / t_hi
     scaling = {}
     if SCALING:
+        pairs_spec = ((4, 16), (8, 32))
+        loads = {CPUS: load0}
         ladder = {CPUS: thr_hi}
-        for c in (8, 2):
+        for c in (16, 8, 4):
             if c < CPUS:
+                loads[c] = round(os.getloadavg()[0], 2)
                 t_c, _ = _time_extraction(c, raw_path)
                 ladder[c] = n_docs / t_c
         strong_pairs = {}
-        for lo, hi in ((2, 8), (8, 32)):
+        for lo, hi in pairs_spec:
             if lo in ladder and hi in ladder:
                 strong_pairs[f"{lo}->{hi}"] = {
                     "speedup": round(ladder[hi] / ladder[lo], 3),
                     "efficiency": round(ladder[hi] / ladder[lo] / (hi / lo), 3),
                 }
         weak_ladder = {CPUS: {"thr": thr_hi, "n_docs": n_docs}}
-        for c in (8, 2):
+        weak_loads = {CPUS: load0}
+        for c in (16, 8, 4):
             if c < CPUS:
                 rep_c = max(REPLICATE * c // CPUS, 1)
                 # files scale WITH the corpus so per-task work matches the
@@ -277,10 +289,11 @@ def main() -> None:
                 parts_c = max(CPUS * 4 * rep_c // REPLICATE, c * 2)
                 raw_c = os.path.join(SCRATCH, f"raw_{sf_name}_x{rep_c}_p{parts_c}")
                 _materialize_raw(raw_c, rep_c, partitions=parts_c)
+                weak_loads[c] = round(os.getloadavg()[0], 2)
                 t_c, n_c = _time_extraction(c, raw_c)
                 weak_ladder[c] = {"thr": n_c / t_c, "n_docs": n_c}
         weak_pairs = {}
-        for lo, hi in ((2, 8), (8, 32)):
+        for lo, hi in pairs_spec:
             if lo in weak_ladder and hi in weak_ladder:
                 per_core_lo = weak_ladder[lo]["thr"] / lo
                 per_core_hi = weak_ladder[hi]["thr"] / hi
@@ -290,6 +303,7 @@ def main() -> None:
         scaling = {
             "throughput_by_cores": {str(c): round(t, 2) for c, t in sorted(ladder.items())},
             "pairs": strong_pairs,
+            "host_loadavg_by_cores": {str(c): v for c, v in sorted(loads.items())},
             "weak": {
                 "throughput_by_cores": {
                     str(c): round(v["thr"], 2) for c, v in sorted(weak_ladder.items())
@@ -298,6 +312,7 @@ def main() -> None:
                     str(c): v["n_docs"] for c, v in sorted(weak_ladder.items())
                 },
                 "pairs": weak_pairs,
+                "host_loadavg_by_cores": {str(c): v for c, v in sorted(weak_loads.items())},
             },
             "n_docs": n_docs,
             "replicate": REPLICATE,
