@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from .corpus import DEGRADED_MOD, PIC_MOD, TBL_MOD, TBL_REM, docs_raw
 from .operators import dedup, relational, similarity, textstats
-from .operators.chunking import DEFAULT_BUDGET, chunk_spans
+from .operators.chunking import chunk_spans
 from .operators.exports import with_exports
 from .operators.html_extract import extract_html
 from .operators.pdf_layout import extract_pdf
