@@ -82,3 +82,14 @@ def test_paragraph_cap_holds(sf_dir):
     ).fetchone()
     con.close()
     assert max_paras < MAX_PARAS, (max_paras, MAX_PARAS)
+
+
+def test_registry_is_exactly_fifty():
+    """The driver's correctness gate checks at most the FIRST 50 registry
+    entries (round 2 registered 52; exactly positions 51-52 went
+    unchecked). Keep the registry at exactly 50 so every entry gets the
+    hard signal, and keep a 1:1 oracle mapping."""
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert len(qs) == 50, f"{len(qs)} entries — driver checks only the first 50"
+    assert set(qs) == set(os_), set(qs) ^ set(os_)
