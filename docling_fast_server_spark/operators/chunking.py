@@ -23,10 +23,12 @@ of those contracts relationally:
   explode_outer, so the fallback costs nothing: no anti-join, no second
   pass over the extraction kernel.
 
-All pure DataFrame code: the only exchange is the hash partition on
-doc_id for the per-doc windows; piece explosion and slicing are narrow
-higher-order expressions. Exactly reproducible in ANSI SQL (oracle in
-queries.py).
+All pure DataFrame code with ZERO exchanges: spans arrive as one
+ordered array per document, so heading propagation, piece explosion,
+the running token budget and the chunk grouping are all higher-order
+functions within that array — extract -> chunk is a single narrow
+stage (plan-asserted). Exactly reproducible in ANSI SQL (oracle in
+queries.py, which still uses the equivalent row-window formulation).
 
 Media spans (text IS NULL) contribute zero tokens and are excluded from
 chunk text but counted in n_spans, mirroring HybridChunker's text-only
@@ -35,15 +37,11 @@ token budget with preserved item references.
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..model import K_SECTION_HEADER
 
 DEFAULT_BUDGET = 40  # tokens per chunk
-# composite (offset, piece_i) ordering key: offsets and piece indices are
-# both far below 2^20 at any realistic document size
-_KEY_SHIFT = 1 << 20
 
 
 def _tok_arr(col, tokenizer: str):
@@ -68,99 +66,154 @@ def chunk_spans(
     """DataFrame(doc_id, spans, ...) -> DataFrame(doc_id, chunk_idx,
     heading, chunk_text, n_tokens, n_spans).
 
-    Ordering contract: ord_key = offset * 2^20 + piece_i relies on
-    per-document offset UNIQUENESS, which the extraction kernels
-    guarantee (offsets are the dense span index, corpus.expected_spans)
-    and tests assert at the extraction boundary
-    (test_chunking.test_offsets_unique_per_doc)."""
-    ex = df.select("doc_id", F.explode_outer(spans_col).alias("s")).select(
-        "doc_id",
-        F.col("s.kind").alias("kind"),
-        F.col("s.offset").alias("offset"),
-        F.col("s.text").alias("text"),
-        F.when(F.col("s.text").isNull(), F.lit(0))
-        .otherwise(F.size(_tok_arr(F.col("s.text"), tokenizer)))
-        .alias("n_tok"),
-    )
-    wh = (
-        Window.partitionBy("doc_id")
-        .orderBy("offset")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ex = ex.withColumn(
-        "heading",
-        F.coalesce(
-            F.last(
-                F.when(F.col("kind") == K_SECTION_HEADER, F.col("text")), ignorenulls=True
-            ).over(wh),
-            F.lit(""),
-        ),
-    )
-    pieces = (
-        ex.withColumn(
-            "n_pieces",
-            F.greatest(F.ceil(F.col("n_tok") / budget), F.lit(1)).cast("int"),
+    ZERO-SHUFFLE chunker: the spans already arrive as one ordered array
+    per document, so heading propagation, piece explosion, the running
+    token count and the chunk grouping are all computed WITHIN that
+    array by higher-order functions — no Window, no groupBy, no
+    Exchange of any kind, making the whole extract -> chunk pipeline a
+    single narrow stage at any corpus size. (Rounds 1-2 exploded spans
+    to rows and re-partitioned by doc_id for two windows + a groupBy —
+    the last full-payload shuffle in the flagship pipeline.)
+
+    The fold carries (current heading, running token total, items); a
+    piece p of a span whose earlier spans total C tokens lands in chunk
+    floor((C + p*budget)/budget) — identical to the row-windowed
+    cumulative-sum definition because every non-final piece holds
+    exactly `budget` tokens. Chunk indices are contiguous from 0, so
+    chunks are materialized by filtering the piece array per index
+    (pieces stay in (offset, piece_i) order: first member = the
+    arg-min-ord_key piece whose heading the chunk reports).
+
+    Ordering contract: relies on per-document offset UNIQUENESS, which
+    the extraction kernels guarantee (offsets are the dense span index,
+    corpus.expected_spans) and tests assert at the extraction boundary
+    (test_chunking.test_offsets_unique_per_doc). A document with no
+    chunkable pieces (empty/NULL spans) still emits exactly one empty
+    chunk row — the whole-doc fallback of pdf_processor.py:60-69."""
+    B = budget
+
+    def tok(c):
+        return _tok_arr(c, tokenizer)
+
+    def ntok(s):
+        return (
+            F.when(s["text"].isNull(), F.lit(0).cast("long"))
+            .otherwise(F.size(tok(s["text"])).cast("long"))
         )
-        .select(
-            "doc_id",
-            "offset",
-            "heading",
-            "text",
-            "n_tok",
-            F.explode(F.sequence(F.lit(0), F.col("n_pieces") - 1)).alias("piece_i"),
+
+    items_t = (
+        "array<struct<offset:int,heading:string,n_tok:bigint,"
+        "text:string,cum_before:bigint>>"
+    )
+    enr_init = F.expr(
+        "struct(CAST('' AS STRING) AS heading, CAST(0 AS BIGINT) AS cum, "
+        f"CAST(array() AS {items_t}) AS items)"
+    )
+
+    def enr_merge(acc, s):
+        heading = F.when(s["kind"] == K_SECTION_HEADER, s["text"]).otherwise(acc["heading"])
+        return F.struct(
+            heading.alias("heading"),
+            (acc["cum"] + ntok(s)).alias("cum"),
+            F.concat(
+                acc["items"],
+                F.array(
+                    F.struct(
+                        s["offset"].alias("offset"),
+                        heading.alias("heading"),
+                        ntok(s).alias("n_tok"),
+                        s["text"].alias("text"),
+                        acc["cum"].alias("cum_before"),
+                    )
+                ),
+            ).alias("items"),
         )
-        .select(
-            "doc_id",
-            "offset",
-            "heading",
-            "piece_i",
-            F.when(F.col("text").isNull(), F.lit(None).cast("string"))
-            .otherwise(
-                F.array_join(
-                    F.slice(
-                        _tok_arr(F.col("text"), tokenizer),
-                        F.col("piece_i") * budget + 1,
-                        budget,
-                    ),
-                    " ",
+
+    sorted_spans = F.array_sort(
+        F.col(spans_col), lambda a, b: a["offset"] - b["offset"]
+    )
+    d = df.select(
+        "doc_id", F.aggregate(sorted_spans, enr_init, enr_merge).alias("enr")
+    )
+
+    def piece_rows(it):
+        n_pieces = F.greatest(F.ceil(it["n_tok"] / B), F.lit(1).cast("long"))
+        return F.transform(
+            F.sequence(F.lit(0).cast("long"), n_pieces - 1),
+            lambda p: F.struct(
+                F.floor((it["cum_before"] + p * B) / B).cast("long").alias("chunk_idx"),
+                it["offset"].alias("offset"),
+                it["heading"].alias("heading"),
+                F.when(it["text"].isNull(), F.lit(None).cast("string"))
+                .otherwise(
+                    F.array_join(
+                        F.slice(tok(it["text"]), (p * B + 1).cast("int"), B), " "
+                    )
                 )
-            )
-            .alias("p_text"),
-            F.when(F.col("text").isNull(), F.lit(0))
-            .otherwise(F.least(F.lit(budget), F.col("n_tok") - F.col("piece_i") * budget))
-            .alias("p_tok"),
+                .alias("p_text"),
+                F.when(it["text"].isNull(), F.lit(0).cast("long"))
+                .otherwise(F.least(F.lit(B).cast("long"), it["n_tok"] - p * B))
+                .alias("p_tok"),
+            ),
         )
+
+    d = d.select(
+        "doc_id",
+        F.flatten(F.transform(F.col("enr")["items"], piece_rows)).alias("pieces"),
     )
-    wc = (
-        Window.partitionBy("doc_id")
-        .orderBy("offset", "piece_i")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    pieces = pieces.withColumn(
-        "chunk_idx",
-        F.floor(F.coalesce(F.sum("p_tok").over(wc), F.lit(0)) / budget).cast("int"),
-    )
-    # explode_outer row for an empty doc has NULL offset/text: it flows
-    # through as one zero-token NULL piece and lands as a single empty
-    # chunk (countDistinct skips the NULL offset) — the whole-doc
-    # fallback without any extra pass
-    key = (F.coalesce(F.col("offset"), F.lit(0)).cast("long") * _KEY_SHIFT + F.col("piece_i")).alias("ord_key")
-    return (
-        pieces.withColumn("ord_key", key)
-        .groupBy("doc_id", "chunk_idx")
-        .agg(
-            F.min_by("heading", F.col("ord_key")).alias("heading"),
+
+    pieces = F.col("pieces")
+
+    def chunk_of(ci):
+        mem = F.filter(pieces, lambda x: x["chunk_idx"] == ci)
+        return F.struct(
+            ci.cast("int").alias("chunk_idx"),
+            F.element_at(mem, 1)["heading"].alias("heading"),
             F.array_join(
                 F.transform(
-                    F.filter(
-                        F.array_sort(F.collect_list(F.struct("ord_key", "p_text"))),
-                        lambda st: st["p_text"].isNotNull(),
-                    ),
-                    lambda st: st["p_text"],
+                    F.filter(mem, lambda m: m["p_text"].isNotNull()),
+                    lambda m: m["p_text"],
                 ),
                 " ",
             ).alias("chunk_text"),
-            F.sum("p_tok").cast("long").alias("n_tokens"),
-            F.countDistinct("offset").cast("long").alias("n_spans"),
+            F.aggregate(mem, F.lit(0).cast("long"), lambda a, m: a + m["p_tok"]).alias(
+                "n_tokens"
+            ),
+            F.size(F.array_distinct(F.transform(mem, lambda m: m["offset"])))
+            .cast("long")
+            .alias("n_spans"),
+        )
+
+    # the highest chunk actually opened by a piece — NOT floor((total-1)/B):
+    # a trailing zero-token media piece at an exact budget boundary opens
+    # one more (empty-text) chunk, exactly as the row-windowed cumulative
+    # sum did. Indices below it are all non-empty (consecutive pieces'
+    # cum_before differ by at most B, so every budget window below the
+    # max is crossed by some piece).
+    max_idx = F.coalesce(
+        F.array_max(F.transform(pieces, lambda x: x["chunk_idx"])),
+        F.lit(0).cast("long"),
+    )
+    fallback = F.array(
+        F.struct(
+            F.lit(0).cast("int").alias("chunk_idx"),
+            F.lit("").alias("heading"),
+            F.lit("").alias("chunk_text"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_spans"),
+        )
+    )
+    chunks = F.when(
+        F.coalesce(F.size(pieces), F.lit(0)) == 0, fallback
+    ).otherwise(F.transform(F.sequence(F.lit(0).cast("long"), max_idx), chunk_of))
+    return (
+        d.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.heading").alias("heading"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_tokens").alias("n_tokens"),
+            F.col("c.n_spans").alias("n_spans"),
         )
     )

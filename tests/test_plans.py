@@ -59,20 +59,20 @@ def test_exports_stay_jvm_side(spark, sf_dir):
     assert "Exchange" not in full
 
 
-def test_chunking_single_shuffle(spark, sf_dir):
-    """Chunking needs exactly one hash exchange (doc_id) for the window +
-    group; AQE may add shuffle reads but no second hash partitioning of
-    the data by a different key."""
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    """The chunker computes heading propagation, piece explosion, the
+    running token count and chunk grouping WITHIN each document's span
+    array (higher-order functions), so extract -> chunk is one narrow
+    stage: no Exchange, no Window, no Python eval. (Rounds 1-2 exploded
+    to rows and hash-partitioned the full span payload by doc_id.)"""
     from docling_fast_server_spark.operators.chunking import chunk_spans
     from docling_fast_server_spark.queries import extract_all
 
-    plan = _plan(chunk_spans(extract_all(spark, sf_dir)))
-    assert "BatchEvalPython" not in plan
-    assert plan.count("hashpartitioning(doc_id") >= 1
-    # BPE-budget variant keeps the same shape: JVM-side, doc_id-partitioned
-    bpe = _plan(chunk_spans(extract_all(spark, sf_dir), budget=10, tokenizer="bpe"))
-    assert "BatchEvalPython" not in bpe
-    assert bpe.count("hashpartitioning(doc_id") >= 1
+    for kw in ({}, {"budget": 10, "tokenizer": "bpe"}):
+        plan = _plan(chunk_spans(extract_all(spark, sf_dir), **kw))
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan, plan
+        assert "Window" not in plan, plan
 
 
 def test_scan_pushdown(spark, sf_dir):
