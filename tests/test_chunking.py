@@ -92,3 +92,105 @@ def test_offsets_unique_per_doc(spark, sf_dir):
         .count()
     )
     assert dup == 0
+
+
+def _model_chunks(spans, B, tokenizer="ws"):
+    """Independent Python model of the chunker contract (the row-window
+    formulation the oracle uses): running heading, piece explosion with
+    actual cumulative token counts, floor(cum/B) chunk assignment."""
+    import re
+
+    def toks(t):
+        if tokenizer == "ws":
+            return t.split(" ")
+        return re.findall(r"[A-Za-z0-9]+|[^A-Za-z0-9 ]", t)
+
+    spans = sorted(spans, key=lambda s: s["offset"])
+    heading, cum, pieces = "", 0, []
+    for s in spans:
+        if s["kind"] == "section_header":
+            heading = s["text"]
+        tk = [] if s["text"] is None else toks(s["text"])
+        n = 0 if s["text"] is None else len(tk)
+        for p in range(max(-(-n // B), 1)):
+            ptext = None if s["text"] is None else " ".join(tk[p * B : (p + 1) * B])
+            ptok = 0 if s["text"] is None else min(B, n - p * B)
+            pieces.append((cum // B, heading, s["offset"], ptext, ptok))
+            cum += ptok
+    if not pieces:
+        return [(0, "", "", 0, 0)]
+    chunks = {}
+    for ci, h, off, ptext, ptok in pieces:
+        chunks.setdefault(ci, []).append((h, off, ptext, ptok))
+    return [
+        (
+            ci,
+            mem[0][0],
+            " ".join(t for _, _, t, _ in mem if t is not None),
+            sum(pt for _, _, _, pt in mem),
+            len({o for _, o, _, _ in mem}),
+        )
+        for ci, mem in sorted(chunks.items())
+    ]
+
+
+def test_chunker_matches_model_on_arbitrary_spans(spark):
+    """The within-array HOF chunker vs an independent Python model on
+    adversarial span soups: empty docs, media-only docs, empty-string
+    texts, budget-boundary totals, shuffled offsets, headers anywhere."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from docling_fast_server_spark.operators.chunking import chunk_spans
+
+    rng = random.Random(20260816)
+    words = ["aa", "b", "ccc", "dd", ""]
+    docs = []
+    for doc_i in range(40):
+        n_spans = rng.randrange(0, 9)
+        offsets = rng.sample(range(100), n_spans)
+        spans = []
+        for off in offsets:
+            kind = rng.choice(["text", "text", "section_header", "picture"])
+            if kind == "picture":
+                spans.append({"kind": kind, "text": None, "media_ref": f"m{off}", "offset": off})
+            else:
+                txt = " ".join(rng.choice(words) for _ in range(rng.randrange(0, 12)))
+                spans.append({"kind": kind, "text": txt, "media_ref": None, "offset": off})
+        docs.append((f"d{doc_i}", spans))
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField(
+                "spans",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("kind", T.StringType()),
+                            T.StructField("text", T.StringType()),
+                            T.StructField("media_ref", T.StringType()),
+                            T.StructField("offset", T.IntegerType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    df = spark.createDataFrame(docs, schema)
+    for B, tokenizer in ((3, "ws"), (5, "bpe")):
+        got = {}
+        for r in chunk_spans(df, budget=B, tokenizer=tokenizer).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["heading"], r["chunk_text"], r["n_tokens"], r["n_spans"])
+            )
+        for doc_id, spans in docs:
+            want = _model_chunks(spans, B, tokenizer)
+            assert sorted(got.get(doc_id, [])) == sorted(want), (
+                tokenizer,
+                doc_id,
+                spans,
+                sorted(got.get(doc_id, [])),
+                sorted(want),
+            )
