@@ -17,8 +17,9 @@ single-file tables + default scan settings (their joins shuffle anyway).
 The scaling block evidences the north rule's two-cluster-size criterion
 in-sandbox, both ways:
 - strong: the identical extraction job (fixed x{REPLICATE} corpus) at
-  local[2]/local[8]/local[{CPUS}]; efficiency = speedup / core-ratio.
-- weak: corpus size PROPORTIONAL to cores (x2 at 2 cores ... x{REPLICATE}
+  local[4]/local[8]/local[16]/local[{CPUS}] — pairs 4->16 and 8->32;
+  efficiency = speedup / core-ratio.
+- weak: corpus size PROPORTIONAL to cores (x4 at 4 cores ... x{REPLICATE}
   at {CPUS}) — constant work per core, the shape a growing cluster
   actually runs; efficiency = per-core throughput ratio. This is the
   fairer in-sandbox demonstration: strong scaling of a 3-4 s job is
@@ -210,6 +211,10 @@ def main() -> None:
     import __spark_entry__ as entry_mod
     from docling_fast_server_spark.session import get_spark
 
+    # clean neighbor-load signal, sampled BEFORE any of our own Spark
+    # work touches the 1-min average (per-rung samples below necessarily
+    # include our own decaying load)
+    loadavg_before_bench = round(os.getloadavg()[0], 2)
     os.makedirs(SCRATCH, exist_ok=True)
     sf_name = os.path.basename(SF_DIR.rstrip("/"))
     # cache paths encode the partition count too — the exists-check would
@@ -255,8 +260,11 @@ def main() -> None:
     # rungs 4/8/16/32 give TWO independent N->4N pairs (4->16, 8->32).
     # The 4->16 pair is the robust criterion witness on a shared-host
     # sandbox: a few cores of neighbor load shave ~10%+ off a 32-core
-    # rung (all cores claimed) while a 16-core rung keeps spare cores —
-    # loadavg is recorded per rung so depressed numbers are explainable.
+    # rung (all cores claimed) while a 16-core rung keeps spare cores.
+    # Per-rung loadavg is recorded as CONTEXT: the 1-min average
+    # inevitably carries our own previous rung's decaying load, so the
+    # clean neighbor signal is loadavg_before_bench; per-rung values
+    # are upper bounds on contention.
     load0 = round(os.getloadavg()[0], 2)
     t_hi, n_docs = _time_extraction(CPUS, raw_path)
     thr_hi = n_docs / t_hi
@@ -303,7 +311,7 @@ def main() -> None:
         scaling = {
             "throughput_by_cores": {str(c): round(t, 2) for c, t in sorted(ladder.items())},
             "pairs": strong_pairs,
-            "host_loadavg_by_cores": {str(c): v for c, v in sorted(loads.items())},
+            "loadavg_pre_rung_incl_self_by_cores": {str(c): v for c, v in sorted(loads.items())},
             "weak": {
                 "throughput_by_cores": {
                     str(c): round(v["thr"], 2) for c, v in sorted(weak_ladder.items())
@@ -312,10 +320,11 @@ def main() -> None:
                     str(c): v["n_docs"] for c, v in sorted(weak_ladder.items())
                 },
                 "pairs": weak_pairs,
-                "host_loadavg_by_cores": {str(c): v for c, v in sorted(weak_loads.items())},
+                "loadavg_pre_rung_incl_self_by_cores": {str(c): v for c, v in sorted(weak_loads.items())},
             },
             "n_docs": n_docs,
             "replicate": REPLICATE,
+            "loadavg_before_bench": loadavg_before_bench,
         }
 
     total = round(sum(qtimes.values()), 3)

@@ -89,7 +89,17 @@ def chunk_spans(
     corpus.expected_spans) and tests assert at the extraction boundary
     (test_chunking.test_offsets_unique_per_doc). A document with no
     chunkable pieces (empty/NULL spans) still emits exactly one empty
-    chunk row — the whole-doc fallback of pdf_processor.py:60-69."""
+    chunk row — the whole-doc fallback of pdf_processor.py:60-69.
+
+    Per-document cost is O(spans^2) struct copies (the prefix fold
+    rebuilds its items array per span) + O(pieces x chunks) scans (each
+    chunk filters the piece array) — all cheap JVM element operations
+    with no re-tokenization, single-threaded WITHIN one document. At
+    the production budget (~hundreds of tokens) a pathological
+    1000-page / 10^4-span document costs ~10^8 element touches, tens of
+    ms — far below what shipping the corpus through a shuffle costs,
+    and the LPT size-descending partition order (plans/pipeline) already
+    schedules such stragglers first."""
     B = budget
 
     def tok(c):
@@ -111,7 +121,13 @@ def chunk_spans(
     )
 
     def enr_merge(acc, s):
-        heading = F.when(s["kind"] == K_SECTION_HEADER, s["text"]).otherwise(acc["heading"])
+        # isNotNull guard preserves the old last(ignorenulls=True) /
+        # oracle IGNORE NULLS semantics: a header with NULL text (never
+        # emitted by our kernels, but allowed by the schema) must keep
+        # the previous heading, not poison every later span with NULL
+        heading = F.when(
+            (s["kind"] == K_SECTION_HEADER) & s["text"].isNotNull(), s["text"]
+        ).otherwise(acc["heading"])
         return F.struct(
             heading.alias("heading"),
             (acc["cum"] + ntok(s)).alias("cum"),

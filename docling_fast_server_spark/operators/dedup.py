@@ -60,12 +60,14 @@ MIXP = MIX % P_HASH  # = 427_799
 POLY_B = 131  # polynomial byte-hash base (Horner fold over characters)
 POLY_P = 1_000_000_007  # fold modulus: acc*131 + 255 < 2^37, int64-safe
 # exact-dedup content-hash pair: two 56-bit primes (the LARGEST primes
-# whose fold stays int64-exact: acc*base + 255 <= 2^63 - 1 on both
-# engines — Miller-Rabin-verified), giving ~112 combined bits. Expected
-# false merges at 10^12 docs: (1e24/2) * 2^-112 ≈ 1e-10 — a ~60-bit pair
-# would instead produce ~1e5 silently merged distinct documents there.
-EXACT_B1, EXACT_P1 = 131, 70_407_420_128_662_391
-EXACT_B2, EXACT_P2 = 137, 67_323_883_480_691_753
+# whose fold stays int64-exact for EVERY UNICODE CODE POINT:
+# acc*base + 0x10FFFF <= 2^63 - 1 on both engines, since ascii()/F.ascii
+# return full code points, not bytes — Miller-Rabin-verified), giving
+# ~112 combined bits. Expected false merges at 10^12 docs:
+# (1e24/2) * 2^-112 ≈ 1e-10 — a ~60-bit pair would instead produce ~1e5
+# silently merged distinct documents there.
+EXACT_B1, EXACT_P1 = 131, 70_407_420_128_653_903
+EXACT_B2, EXACT_P2 = 137, 67_323_883_480_683_581
 MINHASH_K = 8
 BAND_ROWS = 4  # 2 bands x 4 rows: collision prob per band = s^4, which
 # keeps candidate sets small even on overlap-heavy corpora (tiny shared
@@ -167,9 +169,12 @@ def poly_hash(col, base: int = POLY_B, mod: int = POLY_P):
     reproduced verbatim by DuckDB list_reduce (poly_hash_sql). This
     replaces the round-1 distinct+rank+broadcast shingle dictionary: a
     narrow per-row map instead of two shuffles and an executor-OOM-at-
-    100TB broadcast. ASCII corpus assumed (ascii() takes the leading code
-    point in both engines, so parity holds for any single-codepoint-
-    leading string, and the synthetic corpus is pure ASCII)."""
+    100TB broadcast. Overflow-safe for EVERY Unicode code point (ascii()
+    returns code points up to 0x10FFFF, not bytes; all moduli are sized
+    so acc*base + 0x10FFFF stays below 2^63). Cross-engine PARITY is
+    additionally exercised only on ASCII (the synthetic corpus), since
+    the engines could in principle differ on grapheme segmentation of
+    astral text."""
     return F.aggregate(
         F.split(col, ""),
         F.lit(0).cast("long"),

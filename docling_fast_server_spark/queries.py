@@ -185,7 +185,11 @@ def q_chunks_bpe(spark, sf_dir):
     return chunk_spans(extract_all(spark, sf_dir), budget=CHUNK_BPE_BUDGET, tokenizer="bpe")
 
 
-_KEY_SHIFT = 1 << 20  # must match chunking._KEY_SHIFT
+_KEY_SHIFT = 1 << 20  # oracle-only piece ordering key (offset * 2^20 +
+# piece_i): the Spark chunker now orders by array position within each
+# document (zero-shuffle HOF form), so this composite key exists solely
+# so the SQL row-window formulation reproduces the identical order —
+# valid because offsets and piece indices stay far below 2^20
 
 
 def _oracle_chunks(budget: int, tok_sql: str) -> str:

@@ -133,10 +133,33 @@ def _commit_lock(commits_dir: str):
     os.makedirs(commits_dir, exist_ok=True)
     lock = os.path.join(commits_dir, ".lock")
     token = f"owner-{_uuid.uuid4().hex}"
+
+    def _owners() -> list[str]:
+        try:
+            return sorted(f for f in os.listdir(lock) if f.startswith("owner-"))
+        except OSError:
+            return []
+
+    missing = 0
     while True:
         try:
             os.mkdir(lock)
             open(os.path.join(lock, token), "w").close()
+            # sole-ownership check: a steal's rename-back can land ON TOP
+            # of a waiter's freshly-mkdir'd still-empty lock dir (POSIX
+            # rename replaces an empty dir), merging two would-be holders
+            # into one dir. Deterministic tiebreak: the lexicographically
+            # smallest token owns the lock; losers withdraw and wait.
+            # held() re-applies the same rule, so a displaced holder that
+            # never re-ran this check aborts before publishing.
+            owners = _owners()
+            if owners and owners[0] != token:
+                try:
+                    os.remove(os.path.join(lock, token))
+                except OSError:
+                    pass
+                time.sleep(0.05)
+                continue
             break
         except FileExistsError:
             try:
@@ -168,9 +191,18 @@ def _commit_lock(commits_dir: str):
                 pass  # lock released or stolen between the checks
             time.sleep(0.05)
         except FileNotFoundError:
-            # commits_dir itself vanished (a concurrent _swap_table is
-            # mid-rename); recreate and keep waiting
-            os.makedirs(commits_dir, exist_ok=True)
+            # commits_dir itself vanished — usually a concurrent
+            # _swap_table mid-rename. DON'T recreate immediately: a
+            # makedirs inside the swapper's two-rename window would put a
+            # skeleton _commits at the table path and make the swapper's
+            # rename-in fail ENOTEMPTY. Wait for the swap to finish;
+            # recreate only if the dir stays gone well past any swap
+            # (crashed swapper — the table is recoverable from
+            # .dfss-old-*, and waiters shouldn't deadlock).
+            missing += 1
+            if missing > 200:  # ~10 s of continuous absence
+                os.makedirs(commits_dir, exist_ok=True)
+                missing = 0
             time.sleep(0.05)
     stop = threading.Event()
 
@@ -178,17 +210,24 @@ def _commit_lock(commits_dir: str):
         while not stop.wait(_HEARTBEAT_S):
             try:
                 os.utime(lock)
-            except OSError:  # pragma: no cover — stolen during a stall
-                return
+            except OSError:  # pragma: no cover — lock briefly absent (a
+                # steal double-check has it renamed aside for µs) or
+                # genuinely stolen. Keep beating: if the rename-back
+                # restores it, the next utime resumes freshness; if it is
+                # truly gone, the failures are harmless and held() fences.
+                continue
 
     hb = threading.Thread(target=_beat, daemon=True)
     hb.start()
 
     def held() -> None:
-        if not os.path.exists(os.path.join(lock, token)):  # pragma: no cover
+        owners = _owners()
+        if not os.path.exists(os.path.join(lock, token)) or (
+            owners and owners[0] != token
+        ):  # pragma: no cover
             raise RuntimeError(
-                f"commit lock {lock} was stolen (holder stalled past "
-                f"{LOCK_STALE_S}s); aborting before publish"
+                f"commit lock {lock} was stolen or contested (holder "
+                f"stalled past {LOCK_STALE_S}s); aborting before publish"
             )
 
     try:
@@ -350,6 +389,16 @@ def expire_snapshots(path: str, keep_last: int = 1) -> int:
             return 0
         held()  # fencing: abort before rewriting manifests if stolen
         old = entries[: len(entries) - keep_last] if keep_last > 0 else entries
+        legacy = [e for e in old if "keys" in e and "key_files" not in e]
+        if legacy:  # pragma: no cover — merging a legacy inline-keys
+            # manifest into a key_files-only base would silently drop its
+            # key set (the base has no "keys" field), laundering it past
+            # _committed_keys_df's guard and re-admitting every key
+            raise ValueError(
+                f"{commits_dir}: {len(legacy)} manifest(s) use the legacy "
+                "inline-keys format; rewrite them as key parquet files "
+                "before expiring snapshots"
+            )
         base = {
             "seq": old[-1]["seq"],
             "commit_id": _uuid.uuid4().hex[:12],
@@ -444,13 +493,14 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
             src_dir = filtered
         n_rows = spark.read.parquet(src_dir).count()
         commit_id = _uuid.uuid4().hex[:12]
-        held()  # fencing: nothing irreversible has happened yet — if the
-        # lock was stolen during the Spark work above, abort cleanly
         # this commit's key set, written distributed and renamed in
         kstage = tempfile.mkdtemp(prefix=".dfss-kstage-", dir=path)
         spark.read.parquet(src_dir).select(key).distinct().write.mode(
             "overwrite"
         ).parquet(kstage)
+        held()  # fencing AFTER all Spark work (the long stall window):
+        # nothing irreversible has happened yet, so a stolen holder
+        # aborts here instead of racing the thief's commit
         key_files = []
         for f in sorted(os.listdir(kstage)):
             if f.endswith(".parquet"):
@@ -466,6 +516,9 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
                 data_files.append(name)
         shutil.rmtree(src_dir)
         seq = max((e["seq"] for e in entries), default=0) + 1
+        held()  # re-fence right before the publish itself (the renames
+        # above are repairable — unmanifested files are GC'd — but a
+        # published manifest is not)
         _write_manifest(
             commits_dir,
             {
