@@ -250,3 +250,49 @@ def test_ann_lsh_recall_vs_brute(spark, sf_dir):
     # single-cell IVF over near-uniform vectors is the IVF worst case too;
     # nprobe>1 is the production recall knob
     assert ivf_recall >= 0.2, ivf_recall
+
+
+def test_poly_hash_unicode_safe_and_cross_engine(spark):
+    """The exact-dedup fold moduli are sized so acc*base + 0x10FFFF
+    stays below 2^63 — F.ascii()/DuckDB ascii() return full CODE POINTS,
+    not bytes, so the naive 'largest prime for +255 headroom' choice
+    silently wrapped on Spark (and errored on DuckDB) for any character
+    above U+0A9D. Assert bit-exact agreement on strings spanning the
+    whole range, including the maximal code point."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from docling_fast_server_spark.operators.dedup import (
+        EXACT_B1,
+        EXACT_B2,
+        EXACT_P1,
+        EXACT_P2,
+        poly_hash,
+        poly_hash_sql,
+    )
+
+    texts = [
+        "plain ascii",
+        "euro € sign",
+        "cjk 漢字",
+        "astral \U0001F600 emoji",
+        "max \U0010FFFF cp",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        r["text"]: (r["h1"], r["h2"])
+        for r in df.select(
+            "text",
+            poly_hash(F.col("text"), EXACT_B1, EXACT_P1).alias("h1"),
+            poly_hash(F.col("text"), EXACT_B2, EXACT_P2).alias("h2"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    for t in texts:
+        want = con.execute(
+            f"SELECT {poly_hash_sql('text', EXACT_B1, EXACT_P1)}, "
+            f"{poly_hash_sql('text', EXACT_B2, EXACT_P2)} FROM (SELECT ? AS text)",
+            [t],
+        ).fetchone()
+        assert got[t] == tuple(want), (t, got[t], want)
+    con.close()
