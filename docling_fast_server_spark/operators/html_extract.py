@@ -57,13 +57,37 @@ _CHROME_CANDIDATE_TAGS = {"div", "ul", "ol"}
 
 
 class _Node:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "_attrs", "_rawattrs", "children", "parent")
 
-    def __init__(self, tag: str, attrs: dict, parent: "_Node | None"):
+    def __init__(
+        self,
+        tag: str,
+        attrs: "dict | None",
+        parent: "_Node | None",
+        rawattrs: "str | None" = None,
+    ):
         self.tag = tag
-        self.attrs = attrs
+        self._attrs = attrs
+        self._rawattrs = rawattrs
         self.children: list = []  # _Node | str
         self.parent = parent
+
+    @property
+    def attrs(self) -> dict:
+        # parsed LAZILY: the scanner creates a node per tag but the
+        # extractor reads attributes on a small fraction of them
+        # (img src, figure, table); eager per-tag _ATTR_RE parsing
+        # profiled at ~15% of the HTML kernel
+        a = self._attrs
+        if a is None:
+            ra = self._rawattrs or ""
+            a = (
+                {k: (v1 if v1 is not None else v2) for k, v1, v2 in _ATTR_RE.findall(ra)}
+                if "=" in ra
+                else {}
+            )
+            self._attrs = a
+        return a
 
 
 class _TreeBuilder(HTMLParser):
@@ -92,6 +116,9 @@ class _TreeBuilder(HTMLParser):
             self._cur.children.append(data)
 
 
+_WS_RE = re.compile(r"\s+")
+
+
 def _text_of(node: _Node) -> str:
     out: list[str] = []
 
@@ -103,23 +130,27 @@ def _text_of(node: _Node) -> str:
                 walk(c)
 
     walk(node)
-    return re.sub(r"\s+", " ", "".join(out)).strip()
+    return _WS_RE.sub(" ", "".join(out)).strip()
 
 
-def _link_chars(node: _Node) -> int:
-    total = 0
-
-    def walk(n, in_a):
-        nonlocal total
-        for c in n.children:
+def _text_and_links(node: _Node) -> tuple[str, int]:
+    """Collapsed text AND link-char count of a subtree in ONE iterative
+    walk — the per-block hot path previously traversed the same subtree
+    twice (_text_of for the span text, _link_chars for the jusText-style
+    link-density screen)."""
+    out: list[str] = []
+    links = 0
+    stack = [(node, node.tag == "a")]
+    while stack:
+        n, in_a = stack.pop()
+        for c in reversed(n.children):
             if isinstance(c, str):
+                out.append(c)
                 if in_a:
-                    total += len(c.strip())
+                    links += len(c.strip())
             else:
-                walk(c, in_a or c.tag == "a")
-
-    walk(node, node.tag == "a")
-    return total
+                stack.append((c, in_a or c.tag == "a"))
+    return _WS_RE.sub(" ", "".join(out)).strip(), links
 
 
 def _caps_ratio(text: str) -> float:
@@ -129,7 +160,7 @@ def _caps_ratio(text: str) -> float:
     return sum(c.isupper() for c in letters) / len(letters)
 
 
-def _is_boilerplate(node: _Node, text: str, is_heading: bool) -> bool:
+def _is_boilerplate(node: _Node, text: str, is_heading: bool, link_chars: int) -> bool:
     anc = node.parent
     while anc is not None:
         if anc.tag in _FURNITURE_TAGS:
@@ -138,7 +169,7 @@ def _is_boilerplate(node: _Node, text: str, is_heading: bool) -> bool:
     n_chars = len(text)
     if n_chars == 0:
         return True
-    if _link_chars(node) / n_chars > _LINK_DENSITY_MAX:
+    if link_chars / n_chars > _LINK_DENSITY_MAX:
         return True
     # The caps-ratio screen targets shouty chrome ("BUY NOW! CLICK HERE!")
     # that escapes the furniture subtrees. Apply it ONLY to structural
@@ -207,23 +238,27 @@ _TAG_RE = re.compile(
 _ATTR_RE = re.compile(r"([a-zA-Z_][\w-]*)\s*=\s*(?:\"([^\"]*)\"|'([^']*)')")
 _VOID_TAGS = _TreeBuilder._VOID
 
+from html import unescape as _unescape  # noqa: E402 — hot path; a
+# function-local import re-resolves the module dict per document
+
 
 def _fast_parse(html: str) -> _Node:
-    from html import unescape
-
     root = _Node("#root", {}, None)
     cur = root
     pos = 0
     for m in _TAG_RE.finditer(html):
-        if m.start() > pos:
-            text = html[pos : m.start()]
-            if text:
-                cur.children.append(unescape(text) if "&" in text else text)
-        pos = m.end()
-        if m.group(2) is None:
+        # single groups()/span() calls: the scanner fires once per tag,
+        # so per-match C-call count is the measurable constant here
+        # (five separate group() calls profiled at ~20% of parse time)
+        start, end = m.span()
+        if start > pos:
+            text = html[pos:start]
+            cur.children.append(_unescape(text) if "&" in text else text)
+        pos = end
+        closing, tag, rawattrs, selfclose = m.groups()
+        if tag is None:
             continue  # comment / doctype
-        closing, tag, rawattrs, selfclose = (
-            m.group(1), m.group(2).lower(), m.group(3), m.group(4))
+        tag = tag.lower()
         if closing:
             node = cur
             while node is not None and node.tag != tag:
@@ -231,19 +266,13 @@ def _fast_parse(html: str) -> _Node:
             if node is not None and node.parent is not None:
                 cur = node.parent
         else:
-            attrs = (
-                {k: (v1 if v1 is not None else v2) for k, v1, v2 in _ATTR_RE.findall(rawattrs)}
-                if "=" in rawattrs
-                else {}
-            )
-            node = _Node(tag, attrs, cur)
+            node = _Node(tag, None, cur, rawattrs)  # attrs parsed lazily
             cur.children.append(node)
             if tag not in _VOID_TAGS and not selfclose:
                 cur = node
     if pos < len(html):
         tail = html[pos:]
-        if tail:
-            cur.children.append(unescape(tail) if "&" in tail else tail)
+        cur.children.append(_unescape(tail) if "&" in tail else tail)
     return root
 
 
@@ -267,9 +296,9 @@ def extract_html_document(doc_id: str, html: str) -> list[dict]:
             if not isinstance(c, _Node):
                 continue
             if c.tag in _BLOCK_TAGS:
-                text = _text_of(c)
+                text, link_chars = _text_and_links(c)
                 is_heading = c.tag in _HEADING_TAGS
-                if c.tag == "figure" or not _is_boilerplate(c, text or "x", is_heading):
+                if c.tag == "figure" or not _is_boilerplate(c, text or "x", is_heading, link_chars):
                     item = _classify(c, doc_num, text)
                     if item is not None:
                         spans.append(
