@@ -242,16 +242,33 @@ from html import unescape as _unescape  # noqa: E402 — hot path; a
 # function-local import re-resolves the module dict per document
 
 
-def _fast_parse(html: str) -> _Node:
+class _FurnitureBail(Exception):
+    """Raised when the furniture fast-skip meets a construct whose exact
+    semantics require the full tree (figure inside chrome, or a close
+    tag matching an ancestor outside the furniture subtree)."""
+
+
+def _fast_parse(html: str, skip_furniture: bool = True) -> _Node:
+    """Scan to a _Node tree. With skip_furniture (default), subtrees
+    rooted at nav/aside/header/footer are NOT materialized: the
+    extractor provably drops everything inside them (every block there
+    is boilerplate by the ancestor rule) — and on this corpus shape
+    ~54% of all tags live in chrome, so skipping halves tree build +
+    downstream screening. Exactness is preserved by BAILING to a full
+    parse (the _FurnitureBail path) in the two cases where skipped
+    content could matter: a <figure> inside furniture (figures bypass
+    the boilerplate screen today) and a malformed close tag that would
+    pop out of the furniture subtree."""
     root = _Node("#root", {}, None)
     cur = root
     pos = 0
+    skip_stack: list | None = None  # non-None while inside skipped chrome
     for m in _TAG_RE.finditer(html):
         # single groups()/span() calls: the scanner fires once per tag,
         # so per-match C-call count is the measurable constant here
         # (five separate group() calls profiled at ~20% of parse time)
         start, end = m.span()
-        if start > pos:
+        if skip_stack is None and start > pos:
             text = html[pos:start]
             cur.children.append(_unescape(text) if "&" in text else text)
         pos = end
@@ -259,6 +276,29 @@ def _fast_parse(html: str) -> _Node:
         if tag is None:
             continue  # comment / doctype
         tag = tag.lower()
+        if skip_stack is not None:
+            if closing:
+                if tag in skip_stack:
+                    while skip_stack and skip_stack[-1] != tag:
+                        skip_stack.pop()
+                    skip_stack.pop()  # the matching open
+                    if not skip_stack:
+                        skip_stack = None  # furniture closed
+                else:
+                    # would this close pop an ancestor OUTSIDE the
+                    # furniture? (tree semantics: pop to nearest match)
+                    node = cur
+                    while node is not None and node.tag != tag:
+                        node = node.parent
+                    if node is not None:
+                        raise _FurnitureBail
+                    # no match anywhere -> the tree builder ignores it
+            else:
+                if tag == "figure":
+                    raise _FurnitureBail  # figures escape the screen
+                if tag not in _VOID_TAGS and not selfclose:
+                    skip_stack.append(tag)
+            continue
         if closing:
             node = cur
             while node is not None and node.tag != tag:
@@ -269,8 +309,12 @@ def _fast_parse(html: str) -> _Node:
             node = _Node(tag, None, cur, rawattrs)  # attrs parsed lazily
             cur.children.append(node)
             if tag not in _VOID_TAGS and not selfclose:
-                cur = node
-    if pos < len(html):
+                if skip_furniture and tag in _FURNITURE_TAGS:
+                    skip_stack = [tag]  # empty furniture node stays in
+                    # the tree; its dropped contents are never consulted
+                else:
+                    cur = node
+    if skip_stack is None and pos < len(html):
         tail = html[pos:]
         cur.children.append(_unescape(tail) if "&" in tail else tail)
     return root
@@ -278,7 +322,10 @@ def _fast_parse(html: str) -> _Node:
 
 def _parse_html(html: str) -> _Node:
     try:
-        return _fast_parse(html)
+        try:
+            return _fast_parse(html)
+        except _FurnitureBail:
+            return _fast_parse(html, skip_furniture=False)
     except Exception:
         tb = _TreeBuilder()
         tb.feed(html)

@@ -111,3 +111,58 @@ def test_caps_screen_spares_semantic_content():
     texts = [s["text"] for s in spans]
     assert "NASA ESA JAXA MOU FAQ" in texts
     assert all("BUY NOW" not in (t or "") for t in texts)
+
+
+def test_furniture_skip_is_exactly_equivalent():
+    """The parse-time furniture skip must be output-IDENTICAL to the
+    full tree parse: corpus-shaped docs (no figures in chrome) skip
+    fast; a <figure> inside nav/header — which bypasses the boilerplate
+    screen by contract — triggers the bail-and-reparse path and is
+    still extracted."""
+    from docling_fast_server_spark.corpus import render_html
+    from docling_fast_server_spark.operators import html_extract as hx
+
+    for d in (0, 2, 10, 24, 100):
+        h = render_html(d, "alpha beta gamma delta " * 30)
+        a = hx.extract_html_document(f"doc-{d}", h)
+        full_root = hx._fast_parse(h, skip_furniture=False)
+        skip_root = hx._fast_parse(h, skip_furniture=True)
+
+        def spans_of(root, doc=f"doc-{d}"):
+            orig = hx._parse_html
+            try:
+                hx._parse_html = lambda s, _r=root: _r
+                return hx.extract_html_document(doc, h)
+            finally:
+                hx._parse_html = orig
+
+        assert spans_of(skip_root) == spans_of(full_root) == a
+
+    weird = (
+        '<html><body><nav><ul><li><a href="/">x</a></li></ul>'
+        '<figure><img src="media://pic-1"/></figure></nav>'
+        "<main><p>hello world content here</p></main></body></html>"
+    )
+    got = hx.extract_html_document("doc-0", weird)
+    kinds = [s["kind"] for s in got]
+    assert "picture" in kinds and "text" in kinds, got  # figure survived
+
+
+def test_furniture_skip_ignores_orphan_close_tags():
+    """An orphan close tag inside chrome with no matching open anywhere
+    is ignored by both paths (tree semantics: pop search fails)."""
+    from docling_fast_server_spark.operators import html_extract as hx
+
+    html = (
+        "<html><body><nav><ul><li>x</li></ul></span></nav>"
+        "<main><p>real content words here</p></main></body></html>"
+    )
+    a = hx.extract_html_document("doc-0", html)
+    root_full = hx._fast_parse(html, skip_furniture=False)
+    orig = hx._parse_html
+    try:
+        hx._parse_html = lambda s: root_full
+        b = hx.extract_html_document("doc-0", html)
+    finally:
+        hx._parse_html = orig
+    assert a == b and [s["kind"] for s in a] == ["text"]
