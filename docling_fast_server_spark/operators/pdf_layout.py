@@ -58,17 +58,36 @@ _MEDIA_KINDS = ("pdf_image", "pdf_table")
 
 
 def _parse_cells(raw_spans, include_media: bool, enrich: bool = True) -> list[tuple]:
-    """raw span dicts -> [(page, col, -top, kind, text, media_ref)].
-    Raises ValueError on malformed provenance (the K10 trigger).
+    """raw span dicts -> [(page, col, -top, kind, text, media_ref)] (the
+    dict-shaped API; delegates to the flat-column form the Arrow
+    dispatch kernel uses)."""
+    kinds = [s["kind"] for s in raw_spans]
+    texts = [s["text"] for s in raw_spans]
+    refs = [s["media_ref"] for s in raw_spans]
+    return _parse_cells_flat(kinds, texts, refs, 0, len(kinds), include_media, enrich)
+
+
+def _parse_cells_flat(
+    kinds: list,
+    texts: list,
+    refs: list,
+    lo: int,
+    hi: int,
+    include_media: bool,
+    enrich: bool = True,
+) -> list[tuple]:
+    """Flat-column cell parse over [lo, hi) of parallel kind/text/ref
+    lists -> [(page, col, -top, kind, text, media_ref)]. Raises
+    ValueError on malformed provenance (the K10 trigger).
     ``enrich=False`` = the limited tier: code/formula enrichment off
     (pdf_processor.py:144-166), those cells label as plain text."""
     cells = []
-    for s in raw_spans:
-        kind = s["kind"]
+    for idx in range(lo, hi):
+        kind = kinds[idx]
         if kind in _MEDIA_KINDS and not include_media:
             continue
         try:
-            prov = json.loads(s["text"])
+            prov = json.loads(texts[idx])
         except (json.JSONDecodeError, TypeError) as e:
             raise ValueError(f"malformed provenance in {kind} cell") from e
         page = int(prov["p"])
@@ -91,23 +110,36 @@ def _parse_cells(raw_spans, include_media: bool, enrich: bool = True) -> list[tu
             cells.append((page, col, -top, label, text, None))
         elif kind == "pdf_table":
             text = " | ".join(prov.get("cells", []))
-            cells.append((page, col, -top, K_TABLE, text, s["media_ref"]))
+            cells.append((page, col, -top, K_TABLE, text, refs[idx]))
         elif kind == "pdf_image":
-            cells.append((page, col, -top, K_PICTURE, None, s["media_ref"]))
+            cells.append((page, col, -top, K_PICTURE, None, refs[idx]))
         # unknown kinds are ignored (forward compatibility)
     cells.sort(key=lambda c: (c[0], c[1], c[2]))
     return cells
 
 
-def extract_pdf_document(raw_spans) -> tuple[list[dict], str]:
-    """raw cell spans -> (ordered extracted spans, conversion_method)."""
+def extract_pdf_cells_flat(
+    kinds: list, texts: list, refs: list, lo: int, hi: int
+) -> tuple[list[tuple], str]:
+    """Flat-column extraction over [lo, hi): returns (ordered cells as
+    (page, col, -top, kind, text, media_ref) tuples, conversion_method)
+    — the degraded-tier retry wrapped for the Arrow dispatch kernel."""
     try:
-        cells = _parse_cells(raw_spans, include_media=True, enrich=True)
+        cells = _parse_cells_flat(kinds, texts, refs, lo, hi, include_media=True, enrich=True)
         method = METHOD_DEFAULT
     except ValueError:
         # the limited retry: media + code/formula enrichment off
-        cells = _parse_cells(raw_spans, include_media=False, enrich=False)
+        cells = _parse_cells_flat(kinds, texts, refs, lo, hi, include_media=False, enrich=False)
         method = METHOD_LIMITED
+    return cells, method
+
+
+def extract_pdf_document(raw_spans) -> tuple[list[dict], str]:
+    """raw cell spans -> (ordered extracted spans, conversion_method)."""
+    kinds = [s["kind"] for s in raw_spans]
+    texts = [s["text"] for s in raw_spans]
+    refs = [s["media_ref"] for s in raw_spans]
+    cells, method = extract_pdf_cells_flat(kinds, texts, refs, 0, len(kinds))
     spans = [
         {"kind": k, "text": t, "media_ref": m, "offset": i}
         for i, (_, _, _, k, t, m) in enumerate(cells)

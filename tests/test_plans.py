@@ -43,7 +43,9 @@ def test_extraction_plan_is_shuffle_free(spark, sf_dir):
 
     plan = _plan(extract_auto(docs_raw(spark, sf_dir)))
     assert "Exchange" not in plan, plan
-    assert "MapInPandas" in plan
+    assert "MapInPandas" in plan  # the datagen kernel
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan  # the
+    # flat-column extraction kernel (no per-span dicts cross the boundary)
 
 
 def test_exports_stay_jvm_side(spark, sf_dir):
