@@ -49,6 +49,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from docling_fast_server_spark.operators import dedup  # noqa: E402
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
@@ -249,8 +251,9 @@ def main() -> None:
                 df.write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
             qtimes[name] = round(best, 3)
-            spark.catalog.clearCache()  # dedup persists its hash-set df
-            # for within-query reuse; don't leak it into later queries
+            dedup.clear_caches()  # release dedup's registered hash-set
+            spark.catalog.clearCache()  # persists for within-query reuse;
+            # don't leak them into later queries
     finally:
         spark.stop()
 

@@ -84,6 +84,25 @@ _JUNK = (
     "advertise newsletter trending popular related sponsored cookie"
 ).split()
 
+# Escape-stress decoration: docs with doc_id % SPECIAL_EVERY == 1 carry one
+# word suffixed with `"\<&` (quote, backslash, lt, amp) at word index
+# doc_id % PARA_WORDS. Real corpora contain these characters, and the
+# reference's exports are real serializers (pdf_processor.py:210-213 emit
+# valid JSON/HTML for arbitrary text) — so the fixture corpus must force
+# the HTML entity round-trip (render escape -> kernel unescape) and the
+# export escaping (exports.py) to be exact, not vacuous. Mirrored in SQL
+# by oracle.expected_spans_sql (keep in sync!).
+SPECIALS = '"\\<&'
+SPECIAL_EVERY = 3
+
+
+def _decorate_words(doc_id: int, words: list[str]) -> list[str]:
+    if doc_id % SPECIAL_EVERY == 1:
+        k = doc_id % PARA_WORDS
+        if k < len(words):
+            words[k] = words[k] + SPECIALS
+    return words
+
 
 def is_pdf_doc(doc_id: int) -> bool:
     return doc_id % 2 == 1
@@ -98,7 +117,7 @@ def logical_items(
 ) -> list[tuple[str, str | None, str | None]]:
     """(kind, text, media_ref) in reading order. ``limited`` drops media
     enrichment — the degraded tier of pdf_processor.py:144-166."""
-    words = text.split(" ")
+    words = _decorate_words(doc_id, text.split(" "))
     items: list[tuple[str, str | None, str | None]] = []
     n_paras = (len(words) + PARA_WORDS - 1) // PARA_WORDS
     for i in range(n_paras):
@@ -143,24 +162,32 @@ def _junk(doc_id: int, j: int, n: int) -> str:
 
 
 def render_html(doc_id: int, text: str) -> str:
+    # element content is entity-escaped (&, <, >) exactly as any real HTML
+    # emitter must be; the extraction kernel's unescape round-trips it, so
+    # span text comes back verbatim (raw `"` is legal in text content)
+    from html import escape as _esc
+
+    def e(s: str) -> str:
+        return _esc(s, quote=False)
+
     parts: list[str] = []
     for kind, t, m in logical_items(doc_id, text):
         if kind == K_SECTION_HEADER:
-            parts.append(f"<h2>{t}</h2>")
+            parts.append(f"<h2>{e(t)}</h2>")
         elif kind == K_TEXT:
-            parts.append(f"<p>{t}</p>")
+            parts.append(f"<p>{e(t)}</p>")
         elif kind == K_KEY_VALUE:
             k, v = t.split(": ", 1)
-            parts.append(f'<dl class="kv"><dt>{k}</dt><dd>{v}</dd></dl>')
+            parts.append(f'<dl class="kv"><dt>{e(k)}</dt><dd>{e(v)}</dd></dl>')
         elif kind == K_CODE:
-            parts.append(f"<pre><code>{t}</code></pre>")
+            parts.append(f"<pre><code>{e(t)}</code></pre>")
         elif kind == K_FORMULA:
-            parts.append(f'<div class="math">{t}</div>')
+            parts.append(f'<div class="math">{e(t)}</div>')
         elif kind == K_PICTURE:
             parts.append(f'<figure><img src="{m}" alt=""/></figure>')
         elif kind == K_TABLE:
             cells = t.split(" | ")
-            tds = "".join(f"<td>{c}</td>" for c in cells)
+            tds = "".join(f"<td>{e(c)}</td>" for c in cells)
             idx = m.rsplit("/", 1)[1]
             parts.append(f'<table id="tbl-{idx}"><tr>{tds}</tr></table>')
     main = "\n".join(parts)

@@ -57,6 +57,10 @@ def _extract_auto_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Record
         errors: list = []
         for i, doc_id in enumerate(ids):
             lo, hi = offs[i], offs[i + 1]
+            mark = len(out_k)  # per-doc append barrier: the except branch
+            # truncates back to it so a mid-append failure can never leak
+            # orphan values into the NEXT document's span list (the cum
+            # offsets would silently absorb them — cross-doc corruption)
             try:
                 if hi > lo and kinds[lo] == "html":
                     html = "\n".join(
@@ -80,6 +84,7 @@ def _extract_auto_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Record
                         out_o.append(o)
                     err = None
             except Exception as e:
+                del out_k[mark:], out_t[mark:], out_r[mark:], out_o[mark:]
                 n, method, err = 0, METHOD_FAILED, str(e)[:500]
             methods.append(method)
             errors.append(err)

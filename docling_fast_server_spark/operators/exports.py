@@ -40,30 +40,57 @@ def _render_md(s: Column) -> Column:
     )
 
 
+def _xml_escape(c: Column) -> Column:
+    """Entity-escape element content (& first, then < and >) — all
+    JVM-side `replace` chains inside whole-stage codegen."""
+    c = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def _attr_escape(c: Column) -> Column:
+    """Attribute-value escape: content escape + double-quote entity."""
+    return F.replace(_xml_escape(c), F.lit('"'), F.lit("&quot;"))
+
+
 def _render_html(s: Column) -> Column:
-    kv_k = F.substring_index(s["text"], ": ", 1)
-    kv_v = F.substring_index(s["text"], ": ", -1)
+    text = _xml_escape(s["text"])
+    ref = _attr_escape(s["media_ref"])
+    # split the raw kv text first, escape each part for element content
+    kv_k = _xml_escape(F.substring_index(s["text"], ": ", 1))
+    kv_v = _xml_escape(F.substring_index(s["text"], ": ", -1))
     return (
-        F.when(s["kind"] == K_SECTION_HEADER, F.concat(F.lit("<h2>"), s["text"], F.lit("</h2>")))
-        .when(s["kind"] == K_TEXT, F.concat(F.lit("<p>"), s["text"], F.lit("</p>")))
+        F.when(s["kind"] == K_SECTION_HEADER, F.concat(F.lit("<h2>"), text, F.lit("</h2>")))
+        .when(s["kind"] == K_TEXT, F.concat(F.lit("<p>"), text, F.lit("</p>")))
         .when(
             s["kind"] == K_KEY_VALUE,
             F.concat(F.lit("<dl><dt>"), kv_k, F.lit("</dt><dd>"), kv_v, F.lit("</dd></dl>")),
         )
-        .when(s["kind"] == K_CODE, F.concat(F.lit("<pre><code>"), s["text"], F.lit("</code></pre>")))
-        .when(s["kind"] == K_FORMULA, F.concat(F.lit('<div class="math">'), s["text"], F.lit("</div>")))
+        .when(s["kind"] == K_CODE, F.concat(F.lit("<pre><code>"), text, F.lit("</code></pre>")))
+        .when(s["kind"] == K_FORMULA, F.concat(F.lit('<div class="math">'), text, F.lit("</div>")))
         .when(
             s["kind"] == K_TABLE,
-            F.concat(F.lit('<table data-ref="'), s["media_ref"], F.lit('">'), s["text"], F.lit("</table>")),
+            F.concat(F.lit('<table data-ref="'), ref, F.lit('">'), text, F.lit("</table>")),
         )
-        .when(s["kind"] == K_PICTURE, F.concat(F.lit('<img src="'), s["media_ref"], F.lit('"/>')))
-        .otherwise(F.coalesce(s["text"], F.lit("")))
+        .when(s["kind"] == K_PICTURE, F.concat(F.lit('<img src="'), ref, F.lit('"/>')))
+        .otherwise(F.coalesce(text, F.lit("")))
     )
 
 
 def _render_doctags(s: Column) -> Column:
-    body = F.coalesce(s["text"], s["media_ref"], F.lit(""))
+    # body entity-escaped: a raw `<` or `&` in span text would make the
+    # tag stream ambiguous for any downstream doctags consumer
+    body = _xml_escape(F.coalesce(s["text"], s["media_ref"], F.lit("")))
     return F.concat(F.lit("<"), s["kind"], F.lit(">"), body, F.lit("</"), s["kind"], F.lit(">"))
+
+
+def _json_escape(c: Column) -> Column:
+    """JSON string-body escape: backslash FIRST, then double-quote.
+    Control characters are excluded by the span-text contract (words +
+    single spaces — the extraction kernels never emit them), so the two
+    replaces make every export parse with a strict JSON parser."""
+    c = F.replace(c, F.lit("\\"), F.lit("\\\\"))
+    return F.replace(c, F.lit('"'), F.lit('\\"'))
 
 
 def _render_json(s: Column) -> Column:
@@ -72,9 +99,9 @@ def _render_json(s: Column) -> Column:
     concatenation. The export_to_dict analog (pdf_processor.py:211)."""
 
     def q(c: Column) -> Column:
-        # our corpus text never contains quotes/backslashes; a production
-        # build would escape here (documented contract of the canonical form)
-        return F.when(c.isNull(), F.lit("null")).otherwise(F.concat(F.lit('"'), c, F.lit('"')))
+        return F.when(c.isNull(), F.lit("null")).otherwise(
+            F.concat(F.lit('"'), _json_escape(c), F.lit('"'))
+        )
 
     return F.concat(
         F.lit('{"kind":'), q(s["kind"]),

@@ -24,10 +24,21 @@ from .corpus import (
     KV_EVERY,
     PARA_WORDS,
     PIC_MOD,
+    SPECIAL_EVERY,
     TBL_CELLS,
     TBL_MOD,
     TBL_REM,
 )
+
+# corpus._decorate_words in SQL: the escape-stress suffix `"\<&` on one
+# word of every doc_id % SPECIAL_EVERY == 1 document (DuckDB list lambda
+# index is 1-based). Single-quoted SQL strings take backslash literally.
+_SPECIALS_SQL = "'\"\\<&'"
+_DECORATED_WORDS = f"""CASE WHEN doc_id % {SPECIAL_EVERY} = 1 THEN
+           list_transform(string_split(text, ' '),
+             (x, i) -> CASE WHEN i = doc_id % {PARA_WORDS} + 1
+                            THEN x || {_SPECIALS_SQL} ELSE x END)
+         ELSE string_split(text, ' ') END"""
 
 # Maximum paragraphs per document assumed by every unnest(range(...))
 # paragraph generator in the oracle SQL (here and in queries.py, which
@@ -62,7 +73,7 @@ def expected_spans_sql(which: str = "all") -> str:
     p = PARA_WORDS
     return f"""
 WITH src AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents {doc_filter}
+  SELECT doc_id, {_DECORATED_WORDS} AS w FROM documents {doc_filter}
 ),
 par AS (
   SELECT doc_id, w, CAST(gs.i AS BIGINT) AS i,

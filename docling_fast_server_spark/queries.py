@@ -121,28 +121,43 @@ _MD_RENDER = """
     END
 """
 
-_HTML_RENDER = """
+# DuckDB mirrors of exports._xml_escape / _attr_escape / _json_escape —
+# same replace chains, same order (& first for entities, \ first for JSON)
+def _sql_xml_esc(col: str) -> str:
+    return f"replace(replace(replace({col}, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+
+
+def _sql_attr_esc(col: str) -> str:
+    return f"""replace({_sql_xml_esc(col)}, '"', '&quot;')"""
+
+
+def _sql_json_esc(col: str) -> str:
+    return f"""replace(replace({col}, '\\', '\\\\'), '"', '\\"')"""
+
+
+_HTML_RENDER = f"""
     CASE kind
-      WHEN 'section_header' THEN '<h2>' || text || '</h2>'
-      WHEN 'text' THEN '<p>' || text || '</p>'
-      WHEN 'key_value_area' THEN '<dl><dt>' || split_part(text, ': ', 1)
-           || '</dt><dd>' || split_part(text, ': ', 2) || '</dd></dl>'
-      WHEN 'code' THEN '<pre><code>' || text || '</code></pre>'
-      WHEN 'formula' THEN '<div class="math">' || text || '</div>'
-      WHEN 'table' THEN '<table data-ref="' || media_ref || '">' || text || '</table>'
-      WHEN 'picture' THEN '<img src="' || media_ref || '"/>'
+      WHEN 'section_header' THEN '<h2>' || {_sql_xml_esc("text")} || '</h2>'
+      WHEN 'text' THEN '<p>' || {_sql_xml_esc("text")} || '</p>'
+      WHEN 'key_value_area' THEN '<dl><dt>' || {_sql_xml_esc("split_part(text, ': ', 1)")}
+           || '</dt><dd>' || {_sql_xml_esc("split_part(text, ': ', 2)")} || '</dd></dl>'
+      WHEN 'code' THEN '<pre><code>' || {_sql_xml_esc("text")} || '</code></pre>'
+      WHEN 'formula' THEN '<div class="math">' || {_sql_xml_esc("text")} || '</div>'
+      WHEN 'table' THEN '<table data-ref="' || {_sql_attr_esc("media_ref")} || '">'
+           || {_sql_xml_esc("text")} || '</table>'
+      WHEN 'picture' THEN '<img src="' || {_sql_attr_esc("media_ref")} || '"/>'
     END
 """
 
-_DOCTAGS_RENDER = """
-    '<' || kind || '>' || coalesce(text, media_ref, '') || '</' || kind || '>'
+_DOCTAGS_RENDER = f"""
+    '<' || kind || '>' || {_sql_xml_esc("coalesce(text, media_ref, '')")} || '</' || kind || '>'
 """
 
-_JSON_RENDER = """
-    '{"kind":' || '"' || kind || '"'
-    || ',"text":' || coalesce('"' || text || '"', 'null')
-    || ',"media_ref":' || coalesce('"' || media_ref || '"', 'null')
-    || ',"offset":' || CAST("offset" AS VARCHAR) || '}'
+_JSON_RENDER = f"""
+    '{{"kind":' || '"' || {_sql_json_esc("kind")} || '"'
+    || ',"text":' || coalesce('"' || {_sql_json_esc("text")} || '"', 'null')
+    || ',"media_ref":' || coalesce('"' || {_sql_json_esc("media_ref")} || '"', 'null')
+    || ',"offset":' || CAST("offset" AS VARCHAR) || '}}'
 """
 
 
