@@ -17,13 +17,17 @@ without it (pdf_processor.py:144-166 limited pipeline).
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
 
-FAKE_DECODE = True  # no image libs in this container — deterministic stub
+FAKE_DECODE = True  # non-BMP payloads only: no image libs in this
+# container, so anything that is not a BMP container hits the
+# deterministic stub. BMP payloads take the REAL decode path below
+# regardless of this flag (round-4 verdict item 5: one real codec).
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -45,10 +49,55 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
+# ---------------------------------------------------------------------------
+# real BMP codec (pure stdlib): 24-bit uncompressed, BITMAPFILEHEADER +
+# BITMAPINFOHEADER — the public format layout (bottom-up rows, each padded
+# to a 4-byte boundary). The encoder below emits widths that are multiples
+# of 4 so the deterministic pixel stream is also the exact file pixel
+# area (no padding bytes), keeping every byte of the file a closed-form
+# function of (seed, k) that the DuckDB oracle reproduces.
+# ---------------------------------------------------------------------------
+def _encode_bmp(seed: int) -> bytes:
+    """Deterministic 24-bit BMP: w = 4*(1 + seed%8) (multiple of 4 → zero
+    row padding), h = 3 + seed%17, pixel-area byte k = (seed + 7k) % 256
+    in file (bottom-up) order."""
+    w = 4 * (1 + seed % 8)
+    h = 3 + seed % 17
+    npix = 3 * w * h
+    fh = struct.pack("<2sIHHI", b"BM", 54 + npix, 0, 0, 54)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, 0, 0, 0, 0, 0)
+    pixels = bytes((seed + 7 * k) % 256 for k in range(npix))
+    return fh + ih + pixels
+
+
+def _decode_bmp(b: bytes) -> tuple[int, int, int]:
+    """REAL decode: parse the headers with struct, walk the row grid
+    (bottom-up unless biHeight < 0), strip per-row padding, and return
+    (width, height, sum of decoded pixel bytes). Raises ValueError on a
+    malformed container — general BMP handling, not just the encoder's
+    padding-free subset."""
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    _, filesize, _, _, offset = struct.unpack_from("<2sIHHI", b, 0)
+    hdr_size, w, h, planes, bpp = struct.unpack_from("<IiiHH", b, 14)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP variant")
+    height = abs(h)
+    rowsize = (3 * w + 3) // 4 * 4
+    if offset + rowsize * height > len(b):
+        raise ValueError("truncated BMP pixel data")
+    total = 0
+    for r in range(height):
+        row = b[offset + r * rowsize : offset + r * rowsize + 3 * w]
+        total += sum(row)
+    return w, height, total
+
+
 def synthesize_media_table(spark, extracted: DataFrame) -> DataFrame:
     """Build the media side-table from extracted spans: one row per
-    media_ref with a deterministic pseudo-payload (bytes derived from the
-    ref string — stands in for object-store fetch)."""
+    media_ref. Image-kind refs get a REAL deterministic BMP payload
+    (_encode_bmp); table-kind refs keep the pseudo-payload (bytes derived
+    from the ref string — stands in for object-store fetch)."""
     refs = (
         extracted.select(F.explode("spans").alias("s"))
         .select(F.col("s.media_ref").alias("media_ref"), F.col("s.kind").alias("kind"))
@@ -61,14 +110,17 @@ def synthesize_media_table(spark, extracted: DataFrame) -> DataFrame:
             rows = []
             for ref, kind in zip(pdf["media_ref"], pdf["kind"]):
                 seed = sum(ref.encode())
-                n = 256 + (seed * 37) % 1024
-                payload = bytes((seed + i * 31) % 256 for i in range(n))
+                if kind == "picture":
+                    payload = _encode_bmp(seed)
+                else:
+                    n = 256 + (seed * 37) % 1024
+                    payload = bytes((seed + i * 31) % 256 for i in range(n))
                 rows.append(
                     {
                         "media_ref": ref,
                         "media_kind": "image" if kind == "picture" else "table",
                         "payload": payload,
-                        "n_bytes": n,
+                        "n_bytes": len(payload),
                     }
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_SCHEMA.fields])
@@ -77,14 +129,21 @@ def synthesize_media_table(spark, extracted: DataFrame) -> DataFrame:
 
 
 def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """STUB decode: real implementation would be PIL.Image.open over each
-    payload inside this Arrow batch. The fake derives width/height/checksum
-    deterministically from the bytes so tests are stable."""
-    if not FAKE_DECODE:  # pragma: no cover
-        raise NotImplementedError("real image decode requires PIL/libvips")
+    """Batch decode: BMP payloads take the REAL parser (_decode_bmp —
+    width/height from the headers, checksum = sum of decoded pixel
+    bytes); everything else is the documented deterministic stand-in (a
+    production build swaps in PIL.Image.open for those formats)."""
     out = {"width": [], "height": [], "checksum": []}
     for p in payloads:
         b = bytes(p)
+        if b[:2] == b"BM":
+            w, h, csum = _decode_bmp(b)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["checksum"].append(csum)
+            continue
+        if not FAKE_DECODE:  # pragma: no cover
+            raise NotImplementedError("non-BMP decode requires PIL/libvips")
         out["width"].append(64 + b[0] % 192)
         out["height"].append(64 + b[-1] % 192)
         out["checksum"].append(sum(b))
@@ -158,8 +217,15 @@ def _oracle_seeds_cte() -> str:
       GROUP BY r.media_ref, r.media_kind
     ),
     sized AS (
+      -- image rows are real BMPs: w = 4*(1+seed%8), h = 3+seed%17,
+      -- file length = 54-byte headers + 3wh pixel bytes (w % 4 = 0 →
+      -- zero row padding). table rows keep the pseudo-payload length.
       SELECT media_ref, media_kind, seed,
-             256 + (seed * 37) % 1024 AS n
+             CASE WHEN media_kind = 'image' THEN 4 * (1 + seed % 8) ELSE NULL END AS bw,
+             CASE WHEN media_kind = 'image' THEN 3 + seed % 17 ELSE NULL END AS bh,
+             CASE WHEN media_kind = 'image'
+                  THEN 54 + 3 * (4 * (1 + seed % 8)) * (3 + seed % 17)
+                  ELSE 256 + (seed * 37) % 1024 END AS n
       FROM seeds
     )
 """
@@ -177,21 +243,28 @@ def oracle_media_inventory() -> str:
 
 
 def oracle_media_features() -> str:
+    # image checksum = sum of decoded BMP pixel bytes (pixel k is
+    # (seed+7k)%256, order-free under sum); table checksum = sum of the
+    # pseudo-payload bytes. widths/heights: real BMP dims vs stub dims.
     return (
         _oracle_seeds_cte()
         + """
-    , bytes AS (
-      SELECT s.media_ref, s.media_kind, s.n, s.seed,
-             sum((s.seed + u.i * 31) % 256) AS checksum
+    , sums AS (
+      SELECT s.media_ref,
+             sum(CASE WHEN s.media_kind = 'image'
+                      THEN (s.seed + 7 * u.i) % 256
+                      ELSE (s.seed + u.i * 31) % 256 END) AS checksum
       FROM sized s, unnest(range(2048)) AS u(i)
-      WHERE u.i < s.n
-      GROUP BY s.media_ref, s.media_kind, s.n, s.seed
+      WHERE u.i < CASE WHEN s.media_kind = 'image' THEN 3 * s.bw * s.bh ELSE s.n END
+      GROUP BY s.media_ref
     )
-    SELECT media_ref, media_kind,
-           CAST(64 + (seed % 256) % 192 AS INTEGER) AS width,
-           CAST(64 + ((seed + (n - 1) * 31) % 256) % 192 AS INTEGER) AS height,
-           CAST(checksum AS BIGINT) AS checksum
-    FROM bytes
+    SELECT s.media_ref, s.media_kind,
+           CAST(CASE WHEN s.media_kind = 'image' THEN s.bw
+                     ELSE 64 + (s.seed % 256) % 192 END AS INTEGER) AS width,
+           CAST(CASE WHEN s.media_kind = 'image' THEN s.bh
+                     ELSE 64 + ((s.seed + (s.n - 1) * 31) % 256) % 192 END AS INTEGER) AS height,
+           CAST(sums.checksum AS BIGINT) AS checksum
+    FROM sized s JOIN sums USING (media_ref)
 """
     )
 
@@ -282,9 +355,11 @@ def oracle_media_transforms() -> str:
         _oracle_seeds_cte()
         + f"""
     , dims AS (
-      SELECT media_ref, n, seed,
-             64 + (seed % 256) % 192 AS w,
-             64 + ((seed + (n - 1) * 31) % 256) % 192 AS h
+      SELECT media_ref, media_kind, n, seed, bw, bh,
+             CASE WHEN media_kind = 'image' THEN bw
+                  ELSE 64 + (seed % 256) % 192 END AS w,
+             CASE WHEN media_kind = 'image' THEN bh
+                  ELSE 64 + ((seed + (n - 1) * 31) % 256) % 192 END AS h
       FROM sized
     ),
     scaled AS (
@@ -296,14 +371,30 @@ def oracle_media_transforms() -> str:
       FROM dims
     ),
     frames AS (
+      -- frame sampling runs over FILE bytes. BMP file byte p is a header
+      -- byte for p < 54 (their sum is closed-form: 'B'+'M' + offset 54 +
+      -- hdr 40 + planes 1 + bpp 24 = 262, plus w + h and the two
+      -- filesize bytes — all inside frame 0, which stride 4 always
+      -- samples) or pixel byte k = p - 54 valued (seed + 7k) % 256.
+      -- table pseudo-payload byte i is (seed + 31i) % 256 at position i.
       SELECT s.media_ref,
-             CAST(any_value(s.n) // {FRAME_BYTES} AS INTEGER) AS n_frames,
-             CAST((any_value(s.n) // {FRAME_BYTES} + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS INTEGER) AS n_sampled,
-             CAST(sum(CASE WHEN (u.i // {FRAME_BYTES}) % {FRAME_STRIDE} = 0
-                           THEN (s.seed + u.i * 31) % 256 ELSE 0 END) AS BIGINT) AS sample_checksum
+             CAST(s.n // {FRAME_BYTES} AS INTEGER) AS n_frames,
+             CAST((s.n // {FRAME_BYTES} + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS INTEGER) AS n_sampled,
+             CAST(
+               CASE WHEN s.media_kind = 'image'
+                    THEN 262 + s.bw + s.bh + s.n % 256 + s.n // 256
+                    ELSE 0 END
+               + coalesce(sum(CASE
+                   WHEN s.media_kind = 'image' AND ((54 + u.i) // {FRAME_BYTES}) % {FRAME_STRIDE} = 0
+                     THEN (s.seed + 7 * u.i) % 256
+                   WHEN s.media_kind = 'table' AND (u.i // {FRAME_BYTES}) % {FRAME_STRIDE} = 0
+                     THEN (s.seed + u.i * 31) % 256
+                   ELSE 0 END), 0) AS BIGINT) AS sample_checksum
       FROM sized s, unnest(range(2048)) AS u(i)
-      WHERE u.i < (s.n // {FRAME_BYTES}) * {FRAME_BYTES}
-      GROUP BY s.media_ref
+      WHERE u.i < CASE WHEN s.media_kind = 'image'
+                       THEN (s.n // {FRAME_BYTES}) * {FRAME_BYTES} - 54
+                       ELSE (s.n // {FRAME_BYTES}) * {FRAME_BYTES} END
+      GROUP BY s.media_ref, s.media_kind, s.n, s.seed, s.bw, s.bh
     )
     SELECT d.media_ref, CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
            CAST(d.nw AS INTEGER) AS new_width, CAST(d.nh AS INTEGER) AS new_height,
