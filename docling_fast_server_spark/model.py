@@ -44,6 +44,17 @@ EXTRACTED_KINDS = (
     K_SECTION_HEADER, K_TEXT, K_KEY_VALUE, K_PICTURE, K_TABLE, K_CODE, K_FORMULA
 )
 
+# Per-document span ceiling enforced at the extraction boundary: a doc
+# whose extraction yields more spans degrades to `failed` (degrade-never-
+# die), because downstream in-array operators (the zero-shuffle chunker's
+# prefix fold) are quadratic in span count and a 10^5-span document would
+# become a minutes-long single-task straggler. 20k spans ≈ a 2000-page
+# document — beyond the reference's own operating envelope (its size
+# classes stop at 50+ pages, tests/test_runpod_medium_ocr.py:25-37).
+# Oversized stored tables bypass the kernels; chunking.chunk_spans
+# route='auto' windows those instead.
+MAX_SPANS_PER_DOC = 20_000
+
 # conversion methods — the two-tier pipeline of the reference
 # (pdf_processor.py:118-166: default vs limited; ocr.py:35-37 validates
 # conversion_method ∈ {default, limited})

@@ -60,7 +60,7 @@ def _tok_arr(col, tokenizer: str):
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 
-def chunk_spans(
+def _chunk_spans_hof(
     df, budget: int = DEFAULT_BUDGET, spans_col: str = "spans", tokenizer: str = "ws"
 ):
     """DataFrame(doc_id, spans, ...) -> DataFrame(doc_id, chunk_idx,
@@ -232,4 +232,152 @@ def chunk_spans(
             F.col("c.n_tokens").alias("n_tokens"),
             F.col("c.n_spans").alias("n_spans"),
         )
+    )
+
+
+# span-count ceiling for the HOF fast path: the prefix fold is O(spans^2)
+# struct copies per document (tens of ms at 10^4 spans, but minutes at
+# 10^5 — a single-straggler hazard). The extraction kernels assert this
+# ceiling (model.MAX_SPANS_PER_DOC — a doc beyond it degrades to
+# `failed`), which is what makes route='hof' sound for kernel-fed input;
+# arbitrary stored tables go through route='auto' below.
+_KEY_SHIFT = 1 << 20  # ord_key = offset * 2^20 + piece_i; valid while
+# offsets and piece indices stay below 2^20 (10^6 spans/pieces per doc —
+# far above the ceiling that routes docs here)
+
+
+def _chunk_spans_window(
+    df, budget: int = DEFAULT_BUDGET, spans_col: str = "spans", tokenizer: str = "ws"
+):
+    """The row-window formulation of the SAME chunking semantics (the
+    shape the oracle SQL uses): explode spans to rows, per-doc windows
+    for heading propagation + the running token sum, explode pieces,
+    group by (doc_id, chunk_idx). O(spans log spans) per document — the
+    fallback for documents too large for the in-array prefix fold. Whole
+    documents still colocate (Window/groupBy partition by doc_id), but
+    the per-span work is constant, so a 10^5-span document is ~10^5
+    element operations instead of 10^10.
+
+    Assumes non-empty span arrays (the auto router sends empty/NULL-span
+    docs to the HOF branch, whose explode_outer fallback emits the
+    whole-doc empty chunk row)."""
+    from pyspark.sql import Window
+
+    B = budget
+
+    def tok(c):
+        return _tok_arr(c, tokenizer)
+
+    rows = df.select("doc_id", F.explode(spans_col).alias("s")).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"),
+    )
+    ntok = (
+        F.when(F.col("text").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.size(tok(F.col("text"))).cast("long"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    rows = rows.select(
+        "doc_id",
+        "offset",
+        "text",
+        ntok.alias("n_tok"),
+        F.coalesce(
+            F.last(
+                F.when(
+                    (F.col("kind") == K_SECTION_HEADER) & F.col("text").isNotNull(),
+                    F.col("text"),
+                ),
+                ignorenulls=True,
+            ).over(run),
+            F.lit(""),
+        ).alias("heading"),
+        F.coalesce(F.sum(ntok).over(prev), F.lit(0).cast("long")).alias("cum_before"),
+    )
+    n_pieces = F.greatest(F.ceil(F.col("n_tok") / B), F.lit(1).cast("long"))
+    pieces = rows.select(
+        "doc_id",
+        "offset",
+        "heading",
+        "text",
+        "n_tok",
+        "cum_before",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_pieces - 1)).alias("piece_i"),
+    ).select(
+        "doc_id",
+        "offset",
+        "heading",
+        F.floor((F.col("cum_before") + F.col("piece_i") * B) / B)
+        .cast("long")
+        .alias("chunk_idx"),
+        (F.col("offset").cast("long") * _KEY_SHIFT + F.col("piece_i")).alias("ord_key"),
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.array_join(
+                F.slice(tok(F.col("text")), (F.col("piece_i") * B + 1).cast("int"), B),
+                " ",
+            )
+        )
+        .alias("p_text"),
+        F.when(F.col("text").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.least(F.lit(B).cast("long"), F.col("n_tok") - F.col("piece_i") * B))
+        .alias("p_tok"),
+    )
+    return pieces.groupBy("doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx")).agg(
+        F.min_by("heading", "ord_key").alias("heading"),
+        F.array_join(
+            F.filter(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ord_key", "p_text"))),
+                    lambda x: x["p_text"],
+                ),
+                lambda t: t.isNotNull(),
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.sum("p_tok").cast("long").alias("n_tokens"),
+        F.countDistinct("offset").cast("long").alias("n_spans"),
+    )
+
+
+def chunk_spans(
+    df,
+    budget: int = DEFAULT_BUDGET,
+    spans_col: str = "spans",
+    tokenizer: str = "ws",
+    route: str = "auto",
+    hof_max_spans: int | None = None,
+):
+    """Route documents to the right chunker formulation.
+
+    route='auto' (default, safe for arbitrary stored tables): documents
+    at or below the span ceiling take the zero-shuffle in-array fold;
+    documents above it take the row-window formulation, so one
+    pathological 10^5-span document cannot become a minutes-long
+    straggler task. The two branches each filter the child plan, so a
+    non-materialized upstream (e.g. a fused extraction kernel) executes
+    twice — for kernel-fed input use route='hof' instead, which is sound
+    because the kernels enforce model.MAX_SPANS_PER_DOC at the
+    extraction boundary (a doc beyond it degrades to `failed` with no
+    spans).
+
+    route='hof' / route='window' force one formulation."""
+    from ..model import MAX_SPANS_PER_DOC
+
+    ceiling = hof_max_spans if hof_max_spans is not None else MAX_SPANS_PER_DOC
+    if route == "hof":
+        return _chunk_spans_hof(df, budget, spans_col, tokenizer)
+    if route == "window":
+        return _chunk_spans_window(df, budget, spans_col, tokenizer)
+    if route != "auto":
+        raise ValueError(f"unknown route {route!r}")
+    n = F.coalesce(F.size(F.col(spans_col)), F.lit(0))
+    small = df.filter(n <= ceiling)
+    big = df.filter(n > ceiling)
+    return _chunk_spans_hof(small, budget, spans_col, tokenizer).unionByName(
+        _chunk_spans_window(big, budget, spans_col, tokenizer)
     )

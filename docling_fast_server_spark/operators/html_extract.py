@@ -30,6 +30,7 @@ import pandas as pd
 
 from ..model import (
     DOCS_EXTRACTED_SCHEMA,
+    MAX_SPANS_PER_DOC,
     K_CODE,
     K_FORMULA,
     K_KEY_VALUE,
@@ -361,6 +362,11 @@ def extract_html_document(doc_id: str, html: str) -> list[dict]:
             walk(c)
 
     walk(root)
+    if len(spans) > MAX_SPANS_PER_DOC:
+        # extraction-boundary ceiling: callers degrade this doc to
+        # `failed` rather than feeding a quadratic-cost span array to
+        # the in-array chunker (model.MAX_SPANS_PER_DOC rationale)
+        raise ValueError(f"document exceeds span ceiling ({len(spans)} spans)")
     return spans
 
 

@@ -36,6 +36,7 @@ import pandas as pd
 
 from ..model import (
     DOCS_EXTRACTED_SCHEMA,
+    MAX_SPANS_PER_DOC,
     K_CODE,
     K_FORMULA,
     K_KEY_VALUE,
@@ -131,6 +132,11 @@ def extract_pdf_cells_flat(
         # the limited retry: media + code/formula enrichment off
         cells = _parse_cells_flat(kinds, texts, refs, lo, hi, include_media=False, enrich=False)
         method = METHOD_LIMITED
+    if len(cells) > MAX_SPANS_PER_DOC:
+        # extraction-boundary ceiling (model.MAX_SPANS_PER_DOC): raised
+        # past the limited retry, so the batch loop degrades the doc to
+        # `failed` instead of emitting a quadratic-cost span array
+        raise ValueError(f"document exceeds span ceiling ({len(cells)} spans)")
     return cells, method
 
 

@@ -188,7 +188,12 @@ CHUNK_BPE_BUDGET = 10  # BPE tokens per chunk (~1.2x whitespace tokens on
 
 
 def q_chunks(spark, sf_dir):
-    return chunk_spans(extract_all(spark, sf_dir), budget=CHUNK_BUDGET)
+    # route='hof': kernel-fed input is span-ceiling-guaranteed
+    # (model.MAX_SPANS_PER_DOC enforced at the extraction boundary), so
+    # the zero-shuffle in-array chunker is sound AND the fused
+    # extract -> chunk plan stays one narrow stage (route='auto' would
+    # re-execute the extraction kernel once per routing branch)
+    return chunk_spans(extract_all(spark, sf_dir), budget=CHUNK_BUDGET, route="hof")
 
 
 def q_chunks_bpe(spark, sf_dir):
@@ -197,7 +202,9 @@ def q_chunks_bpe(spark, sf_dir):
     HybridChunker tokenizer-awareness analog (pdf_processor.py:44-58).
     chunk_text re-serializes the sliced token array (as HybridChunker
     re-serializes through its tokenizer)."""
-    return chunk_spans(extract_all(spark, sf_dir), budget=CHUNK_BPE_BUDGET, tokenizer="bpe")
+    return chunk_spans(
+        extract_all(spark, sf_dir), budget=CHUNK_BPE_BUDGET, tokenizer="bpe", route="hof"
+    )
 
 
 _KEY_SHIFT = 1 << 20  # oracle-only piece ordering key (offset * 2^20 +

@@ -194,3 +194,148 @@ def test_chunker_matches_model_on_arbitrary_spans(spark):
                 sorted(got.get(doc_id, [])),
                 sorted(want),
             )
+
+
+# ---------------------------------------------------------------------------
+# round-4 verdict item 6: quadratic-fold tripwire — the row-window
+# formulation must exist, match the HOF exactly, and absorb pathological
+# >20k-span documents that the in-array prefix fold would turn into a
+# minutes-long single task.
+# ---------------------------------------------------------------------------
+def _multi_doc(spark, docs):
+    rows = [
+        (
+            doc_id,
+            [
+                {"kind": k, "text": t, "media_ref": m, "offset": i}
+                for i, (k, t, m) in enumerate(spans)
+            ],
+        )
+        for doc_id, spans in docs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+_MIXED_DOCS = [
+    ("d-empty", []),
+    ("d-media", [("picture", None, "media://1/img/0")]),
+    (
+        "d-small",
+        [
+            ("section_header", "HEAD ONE", None),
+            ("text", "a b c d e f g", None),
+            ("picture", None, "media://2/img/1"),
+        ],
+    ),
+    (
+        "d-long",
+        [
+            ("text", " ".join(f"w{i}" for i in range(23)), None),
+            ("section_header", "LATE HEAD", None),
+            ("text", "x y z", None),
+            ("table", "c1 | c2 | c3", "media://3/tbl/2"),
+            ("text", " ".join(f"v{i}" for i in range(11)), None),
+        ],
+    ),
+]
+
+
+def test_window_route_matches_hof(spark):
+    df = _multi_doc(spark, [d for d in _MIXED_DOCS if d[1]])  # non-empty docs
+    for tokenizer in ("ws", "bpe"):
+        a = sorted(
+            map(tuple, chunk_spans(df, budget=5, tokenizer=tokenizer, route="hof").collect())
+        )
+        b = sorted(
+            map(tuple, chunk_spans(df, budget=5, tokenizer=tokenizer, route="window").collect())
+        )
+        assert a == b
+
+
+def test_auto_route_equals_hof_across_the_ceiling(spark):
+    """auto with a tiny ceiling forces some docs through each branch;
+    output must equal the pure HOF run (including the empty-doc fallback,
+    which always takes the HOF branch)."""
+    df = _multi_doc(spark, _MIXED_DOCS)
+    a = sorted(map(tuple, chunk_spans(df, budget=5, route="hof").collect()))
+    b = sorted(map(tuple, chunk_spans(df, budget=5, route="auto", hof_max_spans=3).collect()))
+    assert a == b
+
+
+def _ref_chunks(spans, B):
+    """Independent Python model of the chunk semantics."""
+    heading, cum, pieces = "", 0, []
+    for s in sorted(spans, key=lambda s: s["offset"]):
+        if s["kind"] == "section_header" and s["text"] is not None:
+            heading = s["text"]
+        toks = s["text"].split(" ") if s["text"] is not None else None
+        ntok = len(toks) if toks is not None else 0
+        for p in range(max((ntok + B - 1) // B, 1)):
+            pieces.append(
+                (
+                    s["offset"],
+                    p,
+                    (cum + p * B) // B,
+                    heading,
+                    " ".join(toks[p * B : (p + 1) * B]) if toks is not None else None,
+                    min(B, ntok - p * B) if toks is not None else 0,
+                )
+            )
+        cum += ntok
+    out = {}
+    for off, p, ci, hd, pt, ptok in pieces:
+        c = out.setdefault(ci, {"heading": hd, "texts": [], "n_tokens": 0, "offsets": set()})
+        if pt is not None:
+            c["texts"].append(pt)
+        c["n_tokens"] += ptok
+        c["offsets"].add(off)
+    return {
+        ci: (c["heading"], " ".join(c["texts"]), c["n_tokens"], len(c["offsets"]))
+        for ci, c in out.items()
+    }
+
+
+def test_big_doc_completes_via_window_route(spark):
+    """A >20k-span document goes through the row-window fallback under
+    route='auto' and produces exactly the reference chunking — instead of
+    an O(spans^2) fold straggler."""
+    n = 25_000
+    spans = []
+    for i in range(n):
+        if i % 500 == 0:
+            spans.append({"kind": "section_header", "text": f"H{i}", "media_ref": None, "offset": i})
+        elif i % 97 == 13:
+            spans.append({"kind": "picture", "text": None, "media_ref": f"media://9/img/{i}", "offset": i})
+        else:
+            spans.append({"kind": "text", "text": f"a{i} b{i} c{i}", "media_ref": None, "offset": i})
+    df = spark.createDataFrame(
+        [("d-big", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    rows = chunk_spans(df, budget=40, route="auto").collect()  # default ceiling
+    got = {r["chunk_idx"]: (r["heading"], r["chunk_text"], r["n_tokens"], r["n_spans"]) for r in rows}
+    assert got == _ref_chunks(spans, 40)
+
+
+def test_extraction_boundary_enforces_span_ceiling():
+    """Kernels degrade a doc beyond MAX_SPANS_PER_DOC to failed (pure
+    Python check — no Spark)."""
+    import json
+
+    import pytest
+
+    from docling_fast_server_spark.model import MAX_SPANS_PER_DOC
+    from docling_fast_server_spark.operators.html_extract import extract_html_document
+    from docling_fast_server_spark.operators.pdf_layout import extract_pdf_cells_flat
+
+    html = "<html><body>" + "<p>word</p>" * (MAX_SPANS_PER_DOC + 1) + "</body></html>"
+    with pytest.raises(ValueError, match="span ceiling"):
+        extract_html_document("doc-000000", html)
+
+    m = MAX_SPANS_PER_DOC + 1
+    prov = json.dumps({"p": 1, "l": 72.0, "t": 700.0, "r": 292.0, "b": 684.0, "fs": 11.0, "text": "w"})
+    with pytest.raises(ValueError, match="span ceiling"):
+        extract_pdf_cells_flat(["pdf_cell"] * m, [prov] * m, [None] * m, 0, m)

@@ -71,7 +71,9 @@ def test_chunking_is_shuffle_free(spark, sf_dir):
     from docling_fast_server_spark.queries import extract_all
 
     for kw in ({}, {"budget": 10, "tokenizer": "bpe"}):
-        plan = _plan(chunk_spans(extract_all(spark, sf_dir), **kw))
+        # route='hof' is what the fused pipeline queries use (kernel-fed
+        # input is span-ceiling-guaranteed, see q_chunks)
+        plan = _plan(chunk_spans(extract_all(spark, sf_dir), route="hof", **kw))
         assert "BatchEvalPython" not in plan
         assert "Exchange" not in plan, plan
         assert "Window" not in plan, plan
