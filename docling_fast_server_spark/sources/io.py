@@ -430,22 +430,31 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
 
     Parquet fallback — optimistic commit with a manifest, the same
     protocol Iceberg runs in its metadata layer:
-      1. stage data files OUTSIDE the lock (parallel write to a
-         dot-prefixed dir Spark readers ignore);
+      1. stage data files, this commit's distinct-key parquet, and both
+         counts OUTSIDE the lock, in SIBLING temp dirs (never inside
+         `path`: a concurrent _swap_table holds the commit lock while it
+         renames `path` away and back, and a mkdtemp/makedirs landing in
+         that two-rename window would recreate a skeleton table and fail
+         the swapper's rename ENOTEMPTY — ADVICE r03; the table
+         directory is only ever mutated while holding the lock);
       2. take the table commit lock (atomic POSIX mkdir + heartbeat,
          the catalog analog);
       3. under the lock, garbage-collect files left by crashed commits
-         (merge-prefixed files no manifest references), then anti-join
-         the staged keys against the committed key set — per-commit key
-         PARQUET files referenced by the manifests, so the check is
-         fully distributed (no key ever passes through the driver; the
-         manifests themselves carry only file names + counts);
-      4. rename the staged part files into the table under
-         commit-unique `merge-<id>-` names, write this commit's key
-         parquet, then publish the manifest entry via atomic rename
-         LAST;
-      5. release the lock.
-    A crash before (4) leaves only ignored hidden files; a crash inside
+         (merge-prefixed files no manifest references), then COUNT the
+         overlap of the staged keys with the committed key set — the
+         per-commit key PARQUET files referenced by the manifests, fully
+         distributed (no key ever passes through the driver). This is
+         the ONLY Spark action under the lock on the no-overlap path
+         (zero on a first commit), so writers no longer serialize on
+         lock hold time proportional to staged data;
+      4. no overlap -> rename the staged part files into the table under
+         commit-unique `merge-<id>-` names, rename the key parquet in,
+         then publish the manifest entry via atomic rename LAST;
+      5. overlap (a racing writer committed some of our keys first) ->
+         RELEASE the lock, rewrite the staging without the committed
+         keys outside it, and retry from (2) — optimistic concurrency,
+         exactly the catalog-level conflict-retry Iceberg runs.
+    A crash before (4) leaves only sibling temp dirs; a crash inside
     (4) leaves merge-prefixed files no manifest references — invisible
     to manifest-driven readers immediately, and swept for plain
     spark.read.parquet readers by the next commit's GC pass (3).
@@ -465,73 +474,97 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
         )
         return n
 
-    os.makedirs(path, exist_ok=True)
-    commits_dir = os.path.join(path, "_commits")
-    os.makedirs(_keys_dir(commits_dir), exist_ok=True)
-    staging = tempfile.mkdtemp(prefix=".dfss-stage-", dir=path)
+    abs_path = os.path.abspath(path.rstrip("/"))
+    parent = os.path.dirname(abs_path)
+    commits_dir = os.path.join(abs_path, "_commits")
+
+    # (1) all staged-data Spark work, outside the lock, outside `path`
+    staging = tempfile.mkdtemp(prefix=".dfss-stage-", dir=parent)
     df.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
+    kstage = tempfile.mkdtemp(prefix=".dfss-kstage-", dir=parent)
+    staged.select(key).distinct().write.mode("overwrite").parquet(kstage)
+    n_rows = staged.count()
+    n_keys = spark.read.parquet(kstage).count()
 
-    with _commit_lock(commits_dir) as held:
-        entries = _read_manifests(commits_dir)
-        _gc_uncommitted(path, commits_dir, entries)
-        staged_keys = staged.select(key).distinct()
-        committed = _committed_keys_df(spark, commits_dir, entries)
-        if committed is None:
-            n_staged = n_new = staged_keys.count()
-        else:
-            n_staged = staged_keys.count()
-            n_new = staged_keys.join(committed, key, "left_anti").count()
-        if n_new == 0:
-            shutil.rmtree(staging)
-            return 0
-        src_dir = staging
-        if n_new != n_staged:  # overlap: rewrite without committed keys
-            filtered = tempfile.mkdtemp(prefix=".dfss-stage-", dir=path)
-            staged.join(committed, key, "left_anti").write.mode("overwrite").parquet(filtered)
-            shutil.rmtree(staging)
-            src_dir = filtered
-        n_rows = spark.read.parquet(src_dir).count()
-        commit_id = _uuid.uuid4().hex[:12]
-        # this commit's key set, written distributed and renamed in
-        kstage = tempfile.mkdtemp(prefix=".dfss-kstage-", dir=path)
-        spark.read.parquet(src_dir).select(key).distinct().write.mode(
-            "overwrite"
-        ).parquet(kstage)
-        held()  # fencing AFTER all Spark work (the long stall window):
-        # nothing irreversible has happened yet, so a stolen holder
-        # aborts here instead of racing the thief's commit
-        key_files = []
-        for f in sorted(os.listdir(kstage)):
-            if f.endswith(".parquet"):
-                name = f"keys-{commit_id}-{f}"
-                os.rename(os.path.join(kstage, f), os.path.join(_keys_dir(commits_dir), name))
-                key_files.append(name)
-        shutil.rmtree(kstage)
-        data_files = []
-        for f in sorted(os.listdir(src_dir)):
-            if f.endswith(".parquet"):
-                name = f"merge-{commit_id}-{f}"
-                os.rename(os.path.join(src_dir, f), os.path.join(path, name))
-                data_files.append(name)
-        shutil.rmtree(src_dir)
-        seq = max((e["seq"] for e in entries), default=0) + 1
-        held()  # re-fence right before the publish itself (the renames
-        # above are repairable — unmanifested files are GC'd — but a
-        # published manifest is not)
-        _write_manifest(
-            commits_dir,
-            {
-                "seq": seq,
-                "commit_id": commit_id,
-                "files": data_files,
-                "key_files": key_files,
-                "n_keys": n_new,
-                "key": key,
-            },
-        )
-        spark.catalog.refreshByPath(path)
-        return n_rows
+    for _attempt in range(10):  # optimistic conflict-retry bound
+        with _commit_lock(commits_dir) as held:
+            # holding the lock excludes any _swap_table rename window,
+            # so mutating the table directory is safe from here on
+            os.makedirs(_keys_dir(commits_dir), exist_ok=True)
+            entries = _read_manifests(commits_dir)
+            _gc_uncommitted(abs_path, commits_dir, entries)
+            committed = _committed_keys_df(spark, commits_dir, entries)
+            n_overlap = 0
+            if committed is not None and n_keys > 0:
+                staged_keys = spark.read.parquet(kstage).select(key)
+                n_overlap = staged_keys.join(committed, key, "left_semi").count()
+            if n_overlap == 0:
+                if n_keys == 0:
+                    shutil.rmtree(staging)
+                    shutil.rmtree(kstage)
+                    return 0
+                commit_id = _uuid.uuid4().hex[:12]
+                held()  # fencing AFTER all Spark work (the long stall
+                # window): nothing irreversible has happened yet, so a
+                # stolen holder aborts instead of racing the thief
+                key_files = []
+                for f in sorted(os.listdir(kstage)):
+                    if f.endswith(".parquet"):
+                        name = f"keys-{commit_id}-{f}"
+                        os.rename(
+                            os.path.join(kstage, f),
+                            os.path.join(_keys_dir(commits_dir), name),
+                        )
+                        key_files.append(name)
+                shutil.rmtree(kstage)
+                data_files = []
+                for f in sorted(os.listdir(staging)):
+                    if f.endswith(".parquet"):
+                        name = f"merge-{commit_id}-{f}"
+                        os.rename(os.path.join(staging, f), os.path.join(abs_path, name))
+                        data_files.append(name)
+                shutil.rmtree(staging)
+                seq = max((e["seq"] for e in entries), default=0) + 1
+                held()  # re-fence right before the publish itself (the
+                # renames above are repairable — unmanifested files are
+                # GC'd — but a published manifest is not)
+                _write_manifest(
+                    commits_dir,
+                    {
+                        "seq": seq,
+                        "commit_id": commit_id,
+                        "files": data_files,
+                        "key_files": key_files,
+                        "n_keys": n_keys,
+                        "key": key,
+                    },
+                )
+                spark.catalog.refreshByPath(abs_path)
+                return n_rows
+            # overlap with a racing commit: remember the committed-key
+            # files we saw; the rewrite runs AFTER the lock is released
+            overlap_key_paths = [
+                os.path.join(_keys_dir(commits_dir), f)
+                for e in entries
+                for f in e.get("key_files", [])
+            ]
+        # (5) rewrite outside the lock against the snapshot we saw; any
+        # commit landing after that snapshot is caught by the next
+        # attempt's overlap count
+        seen = spark.read.parquet(*overlap_key_paths).select(key)
+        filtered = tempfile.mkdtemp(prefix=".dfss-stage-", dir=parent)
+        staged.join(seen, key, "left_anti").write.mode("overwrite").parquet(filtered)
+        shutil.rmtree(staging)
+        staging = filtered
+        staged = spark.read.parquet(staging)
+        staged.select(key).distinct().write.mode("overwrite").parquet(kstage)
+        n_rows = staged.count()
+        n_keys = spark.read.parquet(kstage).count()
+    raise RuntimeError(
+        f"merge_append_table({abs_path}): still conflicting after 10 "
+        "optimistic retries — pathological commit contention"
+    )
 
 
 def overwrite_table(df: DataFrame, path: str) -> None:
@@ -552,6 +585,16 @@ def _swap_table(spark: SparkSession, path: str, transform) -> tuple[int, int]:
     old or the new table intact and a recoverable `.dfss-old-*` copy on
     disk. (Round 1 did rmtree(path); move(staging, path) — a crash
     between the two destroyed the table.)
+
+    READER CONTRACT during a swap: snapshot isolation holds for
+    manifest-driven readers (read_table_asof / the merge protocol). A
+    concurrent PLAIN `spark.read.parquet(path)` whose file listing races
+    the two renames (or whose already-listed files are removed by a
+    later commit's `_gc_uncommitted`) can fail transiently with
+    FileNotFound mid-scan — retry the read, or use read_table_asof when
+    scanning a table that compaction/retention may rewrite concurrently
+    (the Iceberg production path makes this a non-issue: plain reads go
+    through the catalog snapshot there).
 
     MERGE-committed tables (path/_commits exists) keep their merge
     semantics through the swap, and the ENTIRE read-transform-publish
@@ -580,11 +623,33 @@ def _swap_table(spark: SparkSession, path: str, transform) -> tuple[int, int]:
     commits_dir = os.path.join(abs_path, "_commits")
     merged = os.path.isdir(commits_dir)
 
+    def _clear_skeleton(p: str) -> None:
+        # only ever deletes a SKELETON: a dir holding no data files and
+        # no published manifests (lock dirs / empty _commits/keys made
+        # by a waiter's bootstrap). Anything with real state re-raises.
+        for _root, _dirs, files in os.walk(p):
+            for f in files:
+                if f.endswith(".parquet") or (f.startswith("commit-") and f.endswith(".json")):
+                    raise RuntimeError(
+                        f"swap target {p} reappeared WITH data/manifests — refusing to clobber"
+                    )
+        shutil.rmtree(p)
+
     def _swap(staging: str) -> None:
         old = tempfile.mkdtemp(prefix=".dfss-old-", dir=parent)
         os.rmdir(old)  # reserve a unique same-filesystem name for the rename
         os.rename(abs_path, old)
-        os.rename(staging, abs_path)
+        try:
+            os.rename(staging, abs_path)
+        except OSError:
+            # a concurrent waiter's lock-bootstrap makedirs recreated a
+            # skeleton <path>/_commits inside our two-rename window
+            # (µs). It holds no data — we renamed the table away — so
+            # clear it and retry; the waiter's fencing (held()) aborts
+            # it before any publish, and its lock ops hit
+            # FileNotFoundError and re-queue on the swapped-in table.
+            _clear_skeleton(abs_path)
+            os.rename(staging, abs_path)
         shutil.rmtree(old)
         spark.catalog.refreshByPath(abs_path)
 

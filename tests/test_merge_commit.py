@@ -178,3 +178,57 @@ def test_compaction_does_not_promote_crashed_commit_orphans(spark, tmp_path):
     assert spark.read.parquet(out).count() == 4  # phantoms not promoted
     assert _dup_count(spark, out) == 0
     assert merge_append_table(a, out) == 0  # replay still a no-op
+
+
+def test_lock_holds_at_most_one_spark_action(spark, tmp_path, monkeypatch):
+    """Round-4 verdict item 4: staged-data Spark work happens BEFORE the
+    commit lock; under the lock the only action is the overlap count (0
+    on a first commit), so lock hold time no longer scales with staged
+    data."""
+    from contextlib import contextmanager
+
+    from pyspark.sql import DataFrame, functions as F
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    from docling_fast_server_spark.sources import io as io_mod
+
+    real = io_mod._commit_lock
+    counts = []
+    real_count, real_pq = DataFrame.count, DataFrameWriter.parquet
+
+    @contextmanager
+    def spy(commits_dir):
+        # count driver-side ACTION calls while the lock is held (jobs are
+        # the wrong unit: AQE splits one action into several jobs)
+        calls = {"n": 0}
+
+        def counting(df_self):
+            calls["n"] += 1
+            return real_count(df_self)
+
+        def counting_pq(w_self, p, **kw):
+            calls["n"] += 1
+            return real_pq(w_self, p, **kw)
+
+        with real(commits_dir) as held:
+            DataFrame.count, DataFrameWriter.parquet = counting, counting_pq
+            try:
+                yield held
+            finally:
+                DataFrame.count, DataFrameWriter.parquet = real_count, real_pq
+        counts.append(calls["n"])
+
+    monkeypatch.setattr(io_mod, "_commit_lock", spy)
+    path = str(tmp_path / "t")
+    d1 = spark.range(200).select(F.col("id").alias("doc_id"), F.lit("a").alias("v"))
+    assert io_mod.merge_append_table(d1, path) == 200
+    # overlapping second writer: triggers the optimistic retry path
+    d2 = spark.range(100, 300).select(F.col("id").alias("doc_id"), F.lit("b").alias("v"))
+    assert io_mod.merge_append_table(d2, path) == 100
+    assert counts, "lock spy never engaged"
+    # first commit: 0 actions under the lock; overlap attempts: exactly
+    # the one overlap count each
+    assert counts[0] == 0 and all(c <= 1 for c in counts), counts
+    back = spark.read.parquet(path)
+    assert back.count() == 300
+    assert back.select("doc_id").distinct().count() == 300
