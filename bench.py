@@ -30,13 +30,23 @@ Methodology: each session warms its Python worker fleet plus one full
 untimed run (page cache + JIT), then takes the best of
 SPARK_GRAFT_BENCH_REPS timed runs (steady-state, as on a long-lived
 cluster; a transient host stall otherwise lands in exactly one number).
+Every rep also measures the NEIGHBOR load that ran alongside it (host
+busy cores minus our own process tree, from /proc jiffy deltas — the
+1-min loadavg carries our own decaying load and cannot tell neighbor
+noise from self). A best rep contended past NEIGHBOR_GATE triggers up
+to EXTRA_REPS retries after a bounded wait-for-quiet, and the signal is
+recorded per query (query_conditions) and per scaling rung
+(neighbor_cores_by_rung) so a loaded number is at least labeled.
 Runs are strictly sequential — concurrent local sessions contend for the
 same CPUs. The cache is cleared between headline queries so one query's
 persisted blocks (dedup's hash-set reuse) never skew another's memory.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling ladder,
-SPARK_GRAFT_BENCH_REPLICATE (default 32), SPARK_GRAFT_BENCH_REPS (default 2).
+SPARK_GRAFT_BENCH_REPLICATE (default 32), SPARK_GRAFT_BENCH_REPS (default 3),
+SPARK_GRAFT_BENCH_NEIGHBOR_GATE (cores, default 3.0),
+SPARK_GRAFT_BENCH_EXTRA_REPS (default 2),
+SPARK_GRAFT_BENCH_QUIET_WAIT_S (default 45).
 """
 
 from __future__ import annotations
@@ -78,6 +88,100 @@ SPREAD_TABLES = (("documents", "doc_id"), ("embeddings", "vec_id"))
 LINK_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events")
 DEFAULT_OPEN_COST = "4194304"
 DEFAULT_MAX_PART = "134217728"
+
+
+# ---------------------------------------------------------------------------
+# neighbor-load signal (round-4 verdict items 1b/8): host busy cores MINUS
+# our own process tree's cores, from /proc jiffy deltas. The 1-min loadavg
+# is useless mid-bench — it carries our own decaying load for a minute —
+# while this is instantaneous and self-excluding, so a rep that raced a
+# neighbor VM's burst is detected and retried instead of owning the
+# scoreboard (BENCH_r03's dedup_minhash 4.38 s vs 1.35 s quiet).
+# ---------------------------------------------------------------------------
+_CLK = os.sysconf("SC_CLK_TCK")
+NEIGHBOR_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_NEIGHBOR_GATE", "3.0"))
+EXTRA_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2"))
+QUIET_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "45"))
+
+
+def _host_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return sum(v) - v[3] - v[4]  # total minus idle + iowait
+
+
+def _tree_jiffies() -> int:
+    """utime+stime of this process and all live descendants (the Spark
+    JVM and its Python workers)."""
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue  # raced process exit
+        rp = s.rsplit(")", 1)[1].split()  # comm may contain spaces
+        procs[int(d)] = (int(rp[1]), int(rp[11]) + int(rp[12]))  # ppid, cpu
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        kids.setdefault(ppid, []).append(pid)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            total += procs[p][1]
+            stack.extend(kids.get(p, []))
+    return total
+
+
+def _neighbor_cores(window: float = 0.5) -> float:
+    """Sampled neighbor load (cores) over a short idle window."""
+    h0, s0, t0 = _host_busy_jiffies(), _tree_jiffies(), time.time()
+    time.sleep(window)
+    dt = max(time.time() - t0, 1e-6)
+    host = (_host_busy_jiffies() - h0) / _CLK / dt
+    ours = (_tree_jiffies() - s0) / _CLK / dt
+    return max(host - ours, 0.0)
+
+
+def _wait_quiet(max_wait: float = QUIET_WAIT_S, gate: float = NEIGHBOR_GATE) -> float:
+    """Bounded wait for neighbor load to fall below `gate`; returns the
+    last sample (proceeds regardless when the wait expires — the value
+    is recorded so a loaded number is at least labeled)."""
+    deadline = time.time() + max_wait
+    n = _neighbor_cores()
+    while n > gate and time.time() < deadline:
+        time.sleep(2.0)
+        n = _neighbor_cores()
+    return round(n, 2)
+
+
+def _best_of(fn, reps: int, gate: float = NEIGHBOR_GATE, extra: int = EXTRA_REPS):
+    """Best-of timing where every rep ALSO measures the neighbor load
+    that ran alongside it. If the best rep was contended past `gate`,
+    up to `extra` more attempts run after waiting for quiet — best-of
+    alone cannot absorb a burst that covers every scheduled rep.
+    Returns (best_sec, neighbor_cores_during_best, attempts)."""
+    best, best_nb, attempts = float("inf"), float("inf"), 0
+    for i in range(reps + extra):
+        if i >= reps:
+            if best_nb <= gate:
+                break
+            _wait_quiet()
+        h0, s0, t0 = _host_busy_jiffies(), _tree_jiffies(), time.time()
+        fn()
+        dt = max(time.time() - t0, 1e-6)
+        nb = max(
+            (_host_busy_jiffies() - h0) / _CLK / dt
+            - (_tree_jiffies() - s0) / _CLK / dt,
+            0.0,
+        )
+        attempts += 1
+        if dt < best:
+            best, best_nb = dt, nb
+    return best, round(best_nb, 2), attempts
 
 
 def _avg_file_bytes(*dirs: str) -> int:
@@ -165,10 +269,11 @@ def _materialize_raw(raw_path: str, replicate: int, partitions: int | None = Non
         spark.stop()
 
 
-def _time_extraction(cores: int, raw_path: str) -> tuple[float, int]:
+def _time_extraction(cores: int, raw_path: str) -> tuple[float, int, float]:
     """Steady-state extraction time at `cores`: spawn the full Python
-    worker fleet first, then best-of-REPS full runs (noop sink — the
-    timing measures scan + kernel, not local-disk write bandwidth)."""
+    worker fleet first, then neighbor-gated best-of-SCALE_REPS full runs
+    (noop sink — the timing measures scan + kernel, not local-disk write
+    bandwidth). Returns (best_sec, n_docs, neighbor_cores_at_best)."""
     from pyspark.sql import types as T
 
     from docling_fast_server_spark.operators.dispatch import extract_auto
@@ -195,14 +300,13 @@ def _time_extraction(cores: int, raw_path: str) -> tuple[float, int]:
         # against identical cache state regardless of run order
         extract_auto(raw).write.format("noop").mode("overwrite").save()
 
-        best = float("inf")
-        for _ in range(SCALE_REPS):
-            t0 = time.time()
-            extract_auto(raw).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+        best, nb, _att = _best_of(
+            lambda: extract_auto(raw).write.format("noop").mode("overwrite").save(),
+            SCALE_REPS,
+        )
         n = extract_auto(raw).count()
         assert n == n_docs, f"extraction dropped rows: {n} != {n_docs}"
-        return best, n_docs
+        return best, n_docs, nb
     finally:
         spark.stop()
         time.sleep(2)  # let the previous JVM/worker fleet fully exit so
@@ -232,6 +336,7 @@ def main() -> None:
     spread_data_dirs = [f"{spread_dir}/{t}.parquet" for t, _ in SPREAD_TABLES]
 
     qtimes: dict[str, float] = {}
+    qmeta: dict[str, dict] = {}
     spark = get_spark("dfss-bench", cores=CPUS, shuffle_partitions=CPUS)
     qs = entry_mod.queries()
     try:
@@ -247,16 +352,14 @@ def main() -> None:
             else:
                 _one_split_per_file(spark, *spread_data_dirs)
                 qdir = spread_dir
-            best = float("inf")
-            for _ in range(REPS):
-                t0 = time.time()
-                df = qs[name](spark, qdir)
-                df.write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
+            def _run(q=name, d=qdir):
+                qs[q](spark, d).write.format("noop").mode("overwrite").save()
+                dedup.clear_caches()  # release dedup's registered
+                spark.catalog.clearCache()  # hash-set between reps too
+
+            best, nb, att = _best_of(_run, REPS)
             qtimes[name] = round(best, 3)
-            dedup.clear_caches()  # release dedup's registered hash-set
-            spark.catalog.clearCache()  # persists for within-query reuse;
-            # don't leak them into later queries
+            qmeta[name] = {"neighbor_cores": nb, "attempts": att}
     finally:
         spark.stop()
 
@@ -264,26 +367,25 @@ def main() -> None:
     # strong = fixed corpus across core counts; weak = corpus replicate
     # proportional to cores (constant work per core).
     # rungs 4/8/16/32 give TWO independent N->4N pairs (4->16, 8->32).
-    # The 4->16 pair is the robust criterion witness on a shared-host
-    # sandbox: a few cores of neighbor load shave ~10%+ off a 32-core
-    # rung (all cores claimed) while a 16-core rung keeps spare cores.
-    # Per-rung loadavg is recorded as CONTEXT: the 1-min average
-    # inevitably carries our own previous rung's decaying load, so the
-    # clean neighbor signal is loadavg_before_bench; per-rung values
-    # are upper bounds on contention.
-    load0 = round(os.getloadavg()[0], 2)
-    t_hi, n_docs = _time_extraction(CPUS, raw_path)
+    # Every rung is NEIGHBOR-GATED: a bounded wait for the self-excluding
+    # /proc neighbor signal to fall below NEIGHBOR_GATE before the rung
+    # starts, plus the neighbor load DURING each rung's best rep recorded
+    # in the JSON — an efficiency ratio where one rung raced a neighbor
+    # burst is detectable instead of silently owning two pairs.
+    q0 = _wait_quiet()
+    t_hi, n_docs, nb_hi = _time_extraction(CPUS, raw_path)
     thr_hi = n_docs / t_hi
     scaling = {}
     if SCALING:
         pairs_spec = ((4, 16), (8, 32))
-        loads = {CPUS: load0}
+        nbs = {CPUS: max(q0, nb_hi)}
         ladder = {CPUS: thr_hi}
         for c in (16, 8, 4):
             if c < CPUS:
-                loads[c] = round(os.getloadavg()[0], 2)
-                t_c, _ = _time_extraction(c, raw_path)
+                qn = _wait_quiet()
+                t_c, _, nb_c = _time_extraction(c, raw_path)
                 ladder[c] = n_docs / t_c
+                nbs[c] = max(qn, nb_c)
         strong_pairs = {}
         for lo, hi in pairs_spec:
             if lo in ladder and hi in ladder:
@@ -292,7 +394,7 @@ def main() -> None:
                     "efficiency": round(ladder[hi] / ladder[lo] / (hi / lo), 3),
                 }
         weak_ladder = {CPUS: {"thr": thr_hi, "n_docs": n_docs}}
-        weak_loads = {CPUS: load0}
+        weak_nbs = {CPUS: max(q0, nb_hi)}
         for c in (16, 8, 4):
             if c < CPUS:
                 rep_c = max(REPLICATE * c // CPUS, 1)
@@ -303,9 +405,10 @@ def main() -> None:
                 parts_c = max(CPUS * 4 * rep_c // REPLICATE, c * 2)
                 raw_c = os.path.join(SCRATCH, f"raw_{sf_name}_x{rep_c}_p{parts_c}")
                 _materialize_raw(raw_c, rep_c, partitions=parts_c)
-                weak_loads[c] = round(os.getloadavg()[0], 2)
-                t_c, n_c = _time_extraction(c, raw_c)
+                qn = _wait_quiet()
+                t_c, n_c, nb_c = _time_extraction(c, raw_c)
                 weak_ladder[c] = {"thr": n_c / t_c, "n_docs": n_c}
+                weak_nbs[c] = max(qn, nb_c)
         weak_pairs = {}
         for lo, hi in pairs_spec:
             if lo in weak_ladder and hi in weak_ladder:
@@ -317,7 +420,7 @@ def main() -> None:
         scaling = {
             "throughput_by_cores": {str(c): round(t, 2) for c, t in sorted(ladder.items())},
             "pairs": strong_pairs,
-            "loadavg_pre_rung_incl_self_by_cores": {str(c): v for c, v in sorted(loads.items())},
+            "neighbor_cores_by_rung": {str(c): v for c, v in sorted(nbs.items())},
             "weak": {
                 "throughput_by_cores": {
                     str(c): round(v["thr"], 2) for c, v in sorted(weak_ladder.items())
@@ -326,10 +429,11 @@ def main() -> None:
                     str(c): v["n_docs"] for c, v in sorted(weak_ladder.items())
                 },
                 "pairs": weak_pairs,
-                "loadavg_pre_rung_incl_self_by_cores": {str(c): v for c, v in sorted(weak_loads.items())},
+                "neighbor_cores_by_rung": {str(c): v for c, v in sorted(weak_nbs.items())},
             },
             "n_docs": n_docs,
             "replicate": REPLICATE,
+            "neighbor_gate": NEIGHBOR_GATE,
             "loadavg_before_bench": loadavg_before_bench,
         }
 
@@ -341,6 +445,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": qtimes,
+                "query_conditions": qmeta,
                 "sf": SF_DIR,
                 "n_docs": n_docs,
                 "throughput_docs_per_sec": round(thr_hi, 2),
