@@ -126,9 +126,12 @@ def test_run_extraction_materializes_no_storage_blocks(spark, sf_dir, workdir):
     out = os.path.join(workdir, "docs_spans")
     lin = os.path.join(workdir, "lineage")
     raw = docs_raw(spark, sf_dir, which="all")
-    run_extraction(spark, raw, out, lin, run_id="ncp", partitions=4)
     jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getRDDStorageInfo() == () or len(jsc.getRDDStorageInfo()) == 0
+    before = {i.id() for i in jsc.getRDDStorageInfo()}  # other tests'
+    # session-scoped leftovers are not this test's concern
+    run_extraction(spark, raw, out, lin, run_id="ncp", partitions=4)
+    new = [i for i in jsc.getRDDStorageInfo() if i.id() not in before]
+    assert not new, [str(i) for i in new]
     # lineage derives from the committed rows and still audits the run
     lineage = read_table(spark, lin).filter(F.col("run_id") == "ncp")
     agg = lineage.agg(
