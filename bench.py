@@ -69,6 +69,10 @@ REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 SCALE_REPS = REPS + 2  # scaling rungs feed an efficiency RATIO, where a
 # single stalled rep distorts two pairs at once — spend extra reps there
 SCRATCH = os.environ.get("SPARK_GRAFT_BENCH_SCRATCH", "/tmp/dfss_bench")
+# bump when corpus.py's generator semantics change: cache paths encode it
+# so a stale pre-change corpus is never silently reused (round 4 added
+# the escape-stress specials to the generator)
+CORPUS_TAG = "g4"
 
 HEADLINE = [
     "extract_all_spans",
@@ -326,12 +330,12 @@ def main() -> None:
     # cache paths encode the partition count too — the exists-check would
     # otherwise reuse a corpus written with a different file census and
     # silently skew the per-task-size-controlled weak-scaling rungs
-    raw_path = os.path.join(SCRATCH, f"raw_{sf_name}_x{REPLICATE}_p{CPUS * 4}")
+    raw_path = os.path.join(SCRATCH, f"raw_{CORPUS_TAG}_{sf_name}_x{REPLICATE}_p{CPUS * 4}")
     _materialize_raw(raw_path, REPLICATE)
     # same rule as raw_path: encode the file census (CPUS*2) so a rerun
     # with a different SPARK_GRAFT_CPUS can't silently reuse a layout
     # built for another core count (ADVICE r03)
-    spread_dir = os.path.join(SCRATCH, f"spread_{sf_name}_p{CPUS * 2}")
+    spread_dir = os.path.join(SCRATCH, f"spread_{CORPUS_TAG}_{sf_name}_p{CPUS * 2}")
     _materialize_spread_sf(spread_dir)
     spread_data_dirs = [f"{spread_dir}/{t}.parquet" for t, _ in SPREAD_TABLES]
 
@@ -408,7 +412,7 @@ def main() -> None:
                 # task constant; tiny files would re-introduce per-task
                 # Python round-trip overhead as a confounder)
                 parts_c = max(CPUS * 4 * rep_c // REPLICATE, c * 2)
-                raw_c = os.path.join(SCRATCH, f"raw_{sf_name}_x{rep_c}_p{parts_c}")
+                raw_c = os.path.join(SCRATCH, f"raw_{CORPUS_TAG}_{sf_name}_x{rep_c}_p{parts_c}")
                 _materialize_raw(raw_c, rep_c, partitions=parts_c)
                 qn = _wait_quiet()
                 t_c, n_c, nb_c = _time_extraction(c, raw_c)
