@@ -114,6 +114,15 @@ def _host_busy_jiffies() -> int:
     return sum(v) - v[3] - v[4]  # total minus idle + iowait
 
 
+def _host_iowait_jiffies() -> int:
+    # tracked separately: an IO-bound neighbor (or host cache thrash)
+    # stalls our scans while contributing ZERO busy cores — invisible to
+    # the CPU meter, so the iowait seen during a rep is recorded too
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return v[4]
+
+
 def _tree_jiffies() -> int:
     """utime+stime of this process and all live descendants (the Spark
     JVM and its Python workers)."""
@@ -168,13 +177,18 @@ def _best_of(fn, reps: int, gate: float = NEIGHBOR_GATE, extra: int = EXTRA_REPS
     up to `extra` more attempts run after waiting for quiet — best-of
     alone cannot absorb a burst that covers every scheduled rep.
     Returns (best_sec, neighbor_cores_during_best, attempts)."""
-    best, best_nb, attempts = float("inf"), float("inf"), 0
+    best, best_nb, best_io, attempts = float("inf"), float("inf"), 0.0, 0
     for i in range(reps + extra):
         if i >= reps:
             if best_nb <= gate:
                 break
             _wait_quiet()
-        h0, s0, t0 = _host_busy_jiffies(), _tree_jiffies(), time.time()
+        h0, s0, w0, t0 = (
+            _host_busy_jiffies(),
+            _tree_jiffies(),
+            _host_iowait_jiffies(),
+            time.time(),
+        )
         fn()
         dt = max(time.time() - t0, 1e-6)
         nb = max(
@@ -182,10 +196,11 @@ def _best_of(fn, reps: int, gate: float = NEIGHBOR_GATE, extra: int = EXTRA_REPS
             - (_tree_jiffies() - s0) / _CLK / dt,
             0.0,
         )
+        io = (_host_iowait_jiffies() - w0) / _CLK / dt
         attempts += 1
         if dt < best:
-            best, best_nb = dt, nb
-    return best, round(best_nb, 2), attempts
+            best, best_nb, best_io = dt, nb, io
+    return best, round(best_nb, 2), attempts, round(best_io, 2)
 
 
 def _avg_file_bytes(*dirs: str) -> int:
@@ -304,7 +319,7 @@ def _time_extraction(cores: int, raw_path: str) -> tuple[float, int, float]:
         # against identical cache state regardless of run order
         extract_auto(raw).write.format("noop").mode("overwrite").save()
 
-        best, nb, _att = _best_of(
+        best, nb, _att, _io = _best_of(
             lambda: extract_auto(raw).write.format("noop").mode("overwrite").save(),
             SCALE_REPS,
         )
@@ -359,9 +374,9 @@ def main() -> None:
             def _run(q=name, d=qdir):
                 qs[q](spark, d).write.format("noop").mode("overwrite").save()
 
-            best, nb, att = _best_of(_run, REPS)
+            best, nb, att, io = _best_of(_run, REPS)
             qtimes[name] = round(best, 3)
-            qmeta[name] = {"neighbor_cores": nb, "attempts": att}
+            qmeta[name] = {"neighbor_cores": nb, "attempts": att, "iowait_cores": io}
             # release caches AFTER the rep loop, untimed: reps 2+ of the
             # same query reuse the persisted hash-set exactly as a warm
             # long-lived cluster would (and as every prior round's
@@ -369,6 +384,16 @@ def main() -> None:
             # blocks out of the NEXT query's memory
             dedup.clear_caches()
             spark.catalog.clearCache()
+            # heap hygiene between queries (untimed): the dedup/sim
+            # stages leave the JVM old-gen full of freed cache/broadcast
+            # tenured garbage; without a collection hint the NEXT query
+            # can inherit a full-GC storm (observed: pricing_summary
+            # 11.7s in-session vs 0.54s in a fresh session, zero
+            # neighbor load)
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
     finally:
         spark.stop()
 
@@ -418,6 +443,27 @@ def main() -> None:
                 t_c, n_c, nb_c = _time_extraction(c, raw_c)
                 weak_ladder[c] = {"thr": n_c / t_c, "n_docs": n_c}
                 weak_nbs[c] = max(qn, nb_c)
+        # the CPUS rung anchors BOTH ladders and is the most
+        # load-sensitive (it needs every core). If its best rep was
+        # contended past the gate, give it one more attempt at the END
+        # of the ladder with a longer quiet horizon — a neighbor burst
+        # that outlasted the first wait has had several minutes to pass.
+        if nbs[CPUS] > NEIGHBOR_GATE:
+            _wait_quiet(max_wait=4 * QUIET_WAIT_S)
+            t_r, _, nb_r = _time_extraction(CPUS, raw_path)
+            if n_docs / t_r > thr_hi:
+                t_hi, thr_hi, nb_hi = t_r, n_docs / t_r, nb_r
+                ladder[CPUS] = thr_hi
+                weak_ladder[CPUS] = {"thr": thr_hi, "n_docs": n_docs}
+                nbs[CPUS] = weak_nbs[CPUS] = nb_r
+                for lo, hi in pairs_spec:
+                    if lo in ladder and hi in ladder:
+                        strong_pairs[f"{lo}->{hi}"] = {
+                            "speedup": round(ladder[hi] / ladder[lo], 3),
+                            "efficiency": round(
+                                ladder[hi] / ladder[lo] / (hi / lo), 3
+                            ),
+                        }
         weak_pairs = {}
         for lo, hi in pairs_spec:
             if lo in weak_ladder and hi in weak_ladder:
