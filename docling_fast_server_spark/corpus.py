@@ -38,6 +38,10 @@ from __future__ import annotations
 
 import json
 from collections.abc import Iterator
+from html import escape as _html_escape  # module-level: render_html runs
+# once per document in the datagen hot path (a function-local import
+# re-resolves the module dict per call — same rationale as
+# html_extract's module-level unescape)
 
 import pandas as pd
 
@@ -165,10 +169,8 @@ def render_html(doc_id: int, text: str) -> str:
     # element content is entity-escaped (&, <, >) exactly as any real HTML
     # emitter must be; the extraction kernel's unescape round-trips it, so
     # span text comes back verbatim (raw `"` is legal in text content)
-    from html import escape as _esc
-
     def e(s: str) -> str:
-        return _esc(s, quote=False)
+        return _html_escape(s, quote=False)
 
     parts: list[str] = []
     for kind, t, m in logical_items(doc_id, text):
