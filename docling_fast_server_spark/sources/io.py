@@ -479,10 +479,13 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
     commits_dir = os.path.join(abs_path, "_commits")
 
     # (1) all staged-data Spark work, outside the lock, outside `path`
-    staging = tempfile.mkdtemp(prefix=".dfss-stage-", dir=parent)
+    # NON-hidden names: these sibling dirs are outside the table (no
+    # table reader ever lists them), and a dot-prefixed read path makes
+    # Spark's PathFilter warn "All paths were ignored" on every commit
+    staging = tempfile.mkdtemp(prefix="dfss-stage-", dir=parent)
     df.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
-    kstage = tempfile.mkdtemp(prefix=".dfss-kstage-", dir=parent)
+    kstage = tempfile.mkdtemp(prefix="dfss-kstage-", dir=parent)
     staged.select(key).distinct().write.mode("overwrite").parquet(kstage)
     n_rows = staged.count()
     n_keys = spark.read.parquet(kstage).count()
@@ -553,7 +556,7 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
         # commit landing after that snapshot is caught by the next
         # attempt's overlap count
         seen = spark.read.parquet(*overlap_key_paths).select(key)
-        filtered = tempfile.mkdtemp(prefix=".dfss-stage-", dir=parent)
+        filtered = tempfile.mkdtemp(prefix="dfss-stage-", dir=parent)
         staged.join(seen, key, "left_anti").write.mode("overwrite").parquet(filtered)
         shutil.rmtree(staging)
         staging = filtered
@@ -639,24 +642,28 @@ def _swap_table(spark: SparkSession, path: str, transform) -> tuple[int, int]:
         old = tempfile.mkdtemp(prefix=".dfss-old-", dir=parent)
         os.rmdir(old)  # reserve a unique same-filesystem name for the rename
         os.rename(abs_path, old)
-        try:
-            os.rename(staging, abs_path)
-        except OSError:
-            # a concurrent waiter's lock-bootstrap makedirs recreated a
-            # skeleton <path>/_commits inside our two-rename window
-            # (µs). It holds no data — we renamed the table away — so
-            # clear it and retry; the waiter's fencing (held()) aborts
-            # it before any publish, and its lock ops hit
-            # FileNotFoundError and re-queue on the swapped-in table.
-            _clear_skeleton(abs_path)
-            os.rename(staging, abs_path)
+        for attempt in range(5):
+            try:
+                os.rename(staging, abs_path)
+                break
+            except OSError:
+                # a concurrent waiter's lock-bootstrap makedirs recreated
+                # a skeleton <path>/_commits inside our two-rename window
+                # (µs). It holds no data — we renamed the table away — so
+                # clear it and retry (bounded: another waiter can re-race
+                # the gap); the waiter's fencing (held()) aborts it before
+                # any publish, and its lock ops hit FileNotFoundError and
+                # re-queue on the swapped-in table.
+                if attempt == 4:
+                    raise
+                _clear_skeleton(abs_path)
         shutil.rmtree(old)
         spark.catalog.refreshByPath(abs_path)
 
     if not merged:
         df = spark.read.parquet(abs_path)
         n_before = df.count()
-        staging = tempfile.mkdtemp(prefix=".dfss-staging-", dir=parent)
+        staging = tempfile.mkdtemp(prefix="dfss-staging-", dir=parent)
         transform(df).write.mode("overwrite").parquet(staging)
         n_after = spark.read.parquet(staging).count()
         _swap(staging)
@@ -673,7 +680,7 @@ def _swap_table(spark: SparkSession, path: str, transform) -> tuple[int, int]:
         else:
             df = spark.read.parquet(abs_path)
         n_before = df.count()
-        staging = tempfile.mkdtemp(prefix=".dfss-staging-", dir=parent)
+        staging = tempfile.mkdtemp(prefix="dfss-staging-", dir=parent)
         transform(df).write.mode("overwrite").parquet(staging)
         commit_id = _uuid.uuid4().hex[:12]
         data_files = []
