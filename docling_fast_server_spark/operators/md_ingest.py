@@ -1,0 +1,110 @@
+"""Markdown ingest — a second text input format beside HTML/PDF-cells.
+
+The reference's converter entry point is format-dispatched
+(DocumentConverter with format_options,
+/root/reference/src/services/pdf_processor.py:176-189); docling's backend
+set includes a Markdown reader alongside PDF/HTML. This module is the
+Spark analog for the engine's own canonical markdown serialization
+(exports._render_md): a block-grammar parser mapping each block back to a
+span, so markdown documents — including every document this engine itself
+exported — can re-enter the pipeline as a first-class raw format.
+
+Canonical block grammar (blocks separated by blank lines, the "\\n\\n"
+join of the serializer; code fences contain single newlines only):
+
+    ## H                      -> section_header, text=H
+    - T                       -> key_value_area,  text=T
+    ```\\nT\\n```             -> code,            text=T
+    $$ T $$                   -> formula,         text=T
+    | C |                     -> table,           text=C   (media_ref is
+                                 not representable in md -> None)
+    ![image](R)               -> picture,         media_ref=R
+    anything else             -> text
+
+Lossiness contract (tested): re-ingesting an exported document recovers
+every span exactly EXCEPT table media_refs, which markdown cannot carry —
+the same class of round-trip loss docling's own md serializer has.
+
+Vectorized as mapInPandas over Arrow batches; degrade-never-die per
+document like the other kernels.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ..model import (
+    DOCS_EXTRACTED_SCHEMA,
+    K_CODE,
+    K_FORMULA,
+    K_KEY_VALUE,
+    K_PICTURE,
+    K_SECTION_HEADER,
+    K_TABLE,
+    K_TEXT,
+    MAX_SPANS_PER_DOC,
+    METHOD_DEFAULT,
+    METHOD_FAILED,
+)
+
+
+def _parse_block(block: str) -> tuple[str, str | None, str | None]:
+    """One markdown block -> (kind, text, media_ref)."""
+    if block.startswith("## "):
+        return (K_SECTION_HEADER, block[3:], None)
+    if block.startswith("- "):
+        return (K_KEY_VALUE, block[2:], None)
+    if block.startswith("```\n") and block.endswith("\n```"):
+        return (K_CODE, block[4:-4], None)
+    if block.startswith("$$ ") and block.endswith(" $$"):
+        return (K_FORMULA, block[3:-3], None)
+    if block.startswith("| ") and block.endswith(" |"):
+        return (K_TABLE, block[2:-2], None)
+    if block.startswith("![image](") and block.endswith(")"):
+        return (K_PICTURE, None, block[9:-1])
+    return (K_TEXT, block, None)
+
+
+def extract_markdown_document(markdown: str) -> list[dict]:
+    """Canonical markdown -> ordered spans (pure function)."""
+    spans: list[dict] = []
+    for block in markdown.split("\n\n"):
+        if block == "":
+            continue  # leading/trailing/duplicate separators
+        kind, text, ref = _parse_block(block)
+        spans.append(
+            {"kind": kind, "text": text, "media_ref": ref, "offset": len(spans)}
+        )
+    if len(spans) > MAX_SPANS_PER_DOC:
+        # same extraction-boundary ceiling as the HTML/PDF kernels
+        raise ValueError(f"document exceeds span ceiling ({len(spans)} spans)")
+    return spans
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, spans_col, methods, errors = [], [], [], []
+        for doc_id, md in zip(pdf["doc_id"], pdf["markdown"]):
+            try:
+                out = extract_markdown_document(md or "")
+                method, err = METHOD_DEFAULT, None
+            except Exception as e:  # degrade, never die
+                out, method, err = [], METHOD_FAILED, str(e)[:500]
+            ids.append(doc_id)
+            spans_col.append(out)
+            methods.append(method)
+            errors.append(err)
+        yield pd.DataFrame(
+            {"doc_id": ids, "spans": spans_col, "conversion_method": methods, "error": errors}
+        )
+
+
+def extract_markdown(df, md_col: str = "markdown"):
+    """DataFrame(doc_id, <md_col>) -> DataFrame(doc_id, spans,
+    conversion_method, error). Narrow map stage — no shuffle."""
+    return (
+        df.select("doc_id", df[md_col].alias("markdown"))
+        .mapInPandas(_extract_batches, schema=DOCS_EXTRACTED_SCHEMA)
+    )

@@ -1,0 +1,83 @@
+"""Markdown ingest round-trip: export_markdown -> extract_markdown
+recovers every span except table media_refs (not representable in md)."""
+
+from pyspark.sql import functions as F
+
+from docling_fast_server_spark.corpus import docs_raw, expected_spans
+from docling_fast_server_spark.operators.dispatch import extract_auto
+from docling_fast_server_spark.operators.exports import with_exports
+from docling_fast_server_spark.operators.md_ingest import (
+    extract_markdown,
+    extract_markdown_document,
+)
+
+
+def test_pure_roundtrip(documents_pdf):
+    from docling_fast_server_spark.operators.exports import _render_md  # noqa: F401
+
+    # Python-level: expected spans -> canonical md string -> parse back
+    def render_md_py(spans):
+        out = []
+        for s in spans:
+            k, t, m = s["kind"], s["text"], s["media_ref"]
+            out.append(
+                {
+                    "section_header": lambda: "## " + t,
+                    "text": lambda: t,
+                    "key_value_area": lambda: "- " + t,
+                    "code": lambda: "```\n" + t + "\n```",
+                    "formula": lambda: "$$ " + t + " $$",
+                    "table": lambda: "| " + t + " |",
+                    "picture": lambda: f"![image]({m})",
+                }[k]()
+            )
+        return "\n\n".join(out)
+
+    checked = 0
+    for did, text in documents_pdf[:60]:
+        exp = expected_spans(int(did), text)
+        if not exp:
+            continue
+        got = extract_markdown_document(render_md_py(exp))
+        want = [
+            {**s, "media_ref": None if s["kind"] == "table" else s["media_ref"]}
+            for s in exp
+        ]
+        assert got == want, (did, got[:3], want[:3])
+        checked += 1
+    assert checked > 10
+
+
+def test_spark_roundtrip_via_exports(spark, sf_dir):
+    extracted = extract_auto(docs_raw(spark, sf_dir, which="all"))
+    md = with_exports(extracted).select("doc_id", "markdown")
+    back = extract_markdown(md)
+    a = (
+        extracted.select("doc_id", F.explode("spans").alias("s"))
+        .select(
+            "doc_id",
+            "s.kind",
+            "s.text",
+            # md cannot carry table refs — null them on the expected side
+            F.when(F.col("s.kind") == "table", F.lit(None).cast("string"))
+            .otherwise(F.col("s.media_ref"))
+            .alias("media_ref"),
+            "s.offset",
+        )
+    )
+    b = back.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert back.filter("conversion_method != 'default'").count() == 0
+
+
+def test_degrade_and_edge_blocks():
+    assert extract_markdown_document("") == []
+    # unknown / plain blocks become text; blank runs collapse
+    got = extract_markdown_document("hello world\n\n\n\n## H")
+    assert [(s["kind"], s["text"]) for s in got] == [
+        ("text", "hello world"),
+        ("section_header", "H"),
+    ]
