@@ -108,3 +108,70 @@ def extract_markdown(df, md_col: str = "markdown"):
         df.select("doc_id", df[md_col].alias("markdown"))
         .mapInPandas(_extract_batches, schema=DOCS_EXTRACTED_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# doctags ingest — docling's native serialization is both exported AND
+# loadable (DocTags is the reference stack's own interchange format); the
+# round-4 entity escaping in exports._render_doctags is what makes this
+# reader sound: the only raw `<` in a canonical stream are tag delimiters.
+# ---------------------------------------------------------------------------
+import re as _re
+
+_DOCTAG_RE = _re.compile(r"^<([a-z_]+)>(.*)</\1>$")
+
+
+def _doctags_unescape(s: str) -> str:
+    # exact inverse of exports._xml_escape (&amp; LAST — inverse order)
+    return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+
+def extract_doctags_document(doctags: str) -> list[dict]:
+    """Canonical doctags stream -> ordered spans. Recovers picture
+    media_refs exactly (their body IS the ref); table refs are lossy in
+    this serialization (body carries the cell text), matching the
+    markdown reader's contract."""
+    spans: list[dict] = []
+    for line in doctags.split("\n"):
+        if line == "":
+            continue
+        m = _DOCTAG_RE.match(line)
+        if not m:
+            raise ValueError(f"malformed doctags line: {line[:80]!r}")
+        kind, body = m.group(1), _doctags_unescape(m.group(2))
+        if kind == K_PICTURE:
+            text, ref = None, body
+        else:
+            text, ref = body, None
+        spans.append(
+            {"kind": kind, "text": text, "media_ref": ref, "offset": len(spans)}
+        )
+    if len(spans) > MAX_SPANS_PER_DOC:
+        raise ValueError(f"document exceeds span ceiling ({len(spans)} spans)")
+    return spans
+
+
+def _extract_doctags_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, spans_col, methods, errors = [], [], [], []
+        for doc_id, dt in zip(pdf["doc_id"], pdf["doctags"]):
+            try:
+                out = extract_doctags_document(dt or "")
+                method, err = METHOD_DEFAULT, None
+            except Exception as e:  # degrade, never die
+                out, method, err = [], METHOD_FAILED, str(e)[:500]
+            ids.append(doc_id)
+            spans_col.append(out)
+            methods.append(method)
+            errors.append(err)
+        yield pd.DataFrame(
+            {"doc_id": ids, "spans": spans_col, "conversion_method": methods, "error": errors}
+        )
+
+
+def extract_doctags(df, dt_col: str = "doctags"):
+    """DataFrame(doc_id, <dt_col>) -> extracted spans. Narrow map stage."""
+    return (
+        df.select("doc_id", df[dt_col].alias("doctags"))
+        .mapInPandas(_extract_doctags_batches, schema=DOCS_EXTRACTED_SCHEMA)
+    )

@@ -81,3 +81,46 @@ def test_degrade_and_edge_blocks():
         ("text", "hello world"),
         ("section_header", "H"),
     ]
+
+
+def test_doctags_spark_roundtrip(spark, sf_dir):
+    """DocTags round-trip recovers picture refs exactly (body IS the
+    ref); only table refs are lossy. The round-4 entity escaping is what
+    makes this sound — decorated spans contain raw < and &."""
+    from docling_fast_server_spark.operators.md_ingest import extract_doctags
+
+    extracted = extract_auto(docs_raw(spark, sf_dir, which="all"))
+    dt = with_exports(extracted).select("doc_id", "doctags")
+    back = extract_doctags(dt)
+    a = extracted.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        "s.kind",
+        "s.text",
+        F.when(F.col("s.kind") == "table", F.lit(None).cast("string"))
+        .otherwise(F.col("s.media_ref"))
+        .alias("media_ref"),
+        "s.offset",
+    )
+    b = back.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert back.filter("conversion_method != 'default'").count() == 0
+
+
+def test_doctags_unescape_inverse():
+    from docling_fast_server_spark.operators.md_ingest import (
+        extract_doctags_document,
+    )
+
+    # text that itself contains entity-looking sequences must round-trip:
+    # escape("&lt;") = "&amp;lt;" and the reader inverts it exactly
+    doc = "<text>a &amp;lt; b &lt;tag&gt; &amp; c</text>"
+    (s,) = extract_doctags_document(doc)
+    assert s["text"] == "a &lt; b <tag> & c"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="malformed"):
+        extract_doctags_document("<text>unclosed")
