@@ -175,3 +175,60 @@ def extract_doctags(df, dt_col: str = "doctags"):
         df.select("doc_id", df[dt_col].alias("doctags"))
         .mapInPandas(_extract_doctags_batches, schema=DOCS_EXTRACTED_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# json ingest — the canonical JSON export is LOSSLESS (kind, text,
+# media_ref, offset all serialized), so this reader closes the loop: a
+# perfect round-trip including table media_refs. The export_to_dict /
+# load analog of the reference stack (pdf_processor.py:211).
+# ---------------------------------------------------------------------------
+import json as _json
+
+
+def extract_json_document(doc_json: str) -> list[dict]:
+    """Canonical doc JSON -> ordered spans, exact (strict JSON parse —
+    the round-4 escaping is what makes every export parseable)."""
+    spans = _json.loads(doc_json)
+    if not isinstance(spans, list):
+        raise ValueError("doc JSON must be a span array")
+    out: list[dict] = []
+    for s in spans:
+        out.append(
+            {
+                "kind": s["kind"],
+                "text": s["text"],
+                "media_ref": s["media_ref"],
+                "offset": int(s["offset"]),
+            }
+        )
+    if len(out) > MAX_SPANS_PER_DOC:
+        raise ValueError(f"document exceeds span ceiling ({len(out)} spans)")
+    return out
+
+
+def _extract_json_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, spans_col, methods, errors = [], [], [], []
+        for doc_id, dj in zip(pdf["doc_id"], pdf["doc_json"]):
+            try:
+                out = extract_json_document(dj or "[]")
+                method, err = METHOD_DEFAULT, None
+            except Exception as e:  # degrade, never die
+                out, method, err = [], METHOD_FAILED, str(e)[:500]
+            ids.append(doc_id)
+            spans_col.append(out)
+            methods.append(method)
+            errors.append(err)
+        yield pd.DataFrame(
+            {"doc_id": ids, "spans": spans_col, "conversion_method": methods, "error": errors}
+        )
+
+
+def extract_json(df, json_col: str = "doc_json"):
+    """DataFrame(doc_id, <json_col>) -> extracted spans — the lossless
+    serialization reader. Narrow map stage."""
+    return (
+        df.select("doc_id", df[json_col].alias("doc_json"))
+        .mapInPandas(_extract_json_batches, schema=DOCS_EXTRACTED_SCHEMA)
+    )

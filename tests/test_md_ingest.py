@@ -124,3 +124,22 @@ def test_doctags_unescape_inverse():
 
     with pytest.raises(ValueError, match="malformed"):
         extract_doctags_document("<text>unclosed")
+
+
+def test_json_spark_roundtrip_lossless(spark, sf_dir):
+    """The JSON serialization carries every field, so this round-trip is
+    EXACT — including table media_refs that md/doctags lose."""
+    from docling_fast_server_spark.operators.md_ingest import extract_json
+
+    extracted = extract_auto(docs_raw(spark, sf_dir, which="all"))
+    dj = with_exports(extracted).select("doc_id", "doc_json")
+    back = extract_json(dj)
+    a = extracted.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    b = back.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert back.filter("conversion_method != 'default'").count() == 0
