@@ -24,6 +24,13 @@ RAW_HTML = "html"  # one raw HTML page payload
 RAW_PDF_CELL = "pdf_cell"  # one layout text cell (JSON prov in text)
 RAW_PDF_IMAGE = "pdf_image"  # embedded image XObject (JSON prov, media_ref)
 RAW_PDF_TABLE = "pdf_table"  # table region (JSON prov + cells, media_ref)
+# serialization-reader formats (operators/md_ingest): documents whose raw
+# payload is one of the engine's own canonical serializations — the
+# format-dispatch breadth of the reference's converter entry point
+# (pdf_processor.py:176-189) applied to its output formats
+RAW_MARKDOWN = "markdown"  # canonical markdown document payload
+RAW_DOCTAGS = "doctags"  # canonical doctags stream payload
+RAW_JSON = "json_doc"  # canonical (lossless) doc-JSON payload
 
 # ---------------------------------------------------------------------------
 # kinds: extracted side — the DoclingDocument label set observed in

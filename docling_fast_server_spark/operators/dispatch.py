@@ -25,9 +25,31 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 
-from ..model import DOCS_EXTRACTED_SCHEMA, METHOD_DEFAULT, METHOD_FAILED
+from ..model import (
+    DOCS_EXTRACTED_SCHEMA,
+    METHOD_DEFAULT,
+    METHOD_FAILED,
+    RAW_DOCTAGS,
+    RAW_HTML,
+    RAW_JSON,
+    RAW_MARKDOWN,
+)
 from .html_extract import extract_html_document
+from .md_ingest import (
+    extract_doctags_document,
+    extract_json_document,
+    extract_markdown_document,
+)
 from .pdf_layout import extract_pdf_cells_flat
+
+# single-payload serialization formats: (raw kind -> reader, joiner) —
+# multi-span payloads concatenate with the format's natural separator,
+# exactly as the html branch joins page payloads with "\n"
+_DOC_READERS = {
+    RAW_MARKDOWN: (extract_markdown_document, "\n\n"),
+    RAW_DOCTAGS: (extract_doctags_document, "\n"),
+    RAW_JSON: (extract_json_document, None),  # one JSON array per doc
+}
 
 
 def _arrow_schema():
@@ -62,11 +84,28 @@ def _extract_auto_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Record
             # orphan values into the NEXT document's span list (the cum
             # offsets would silently absorb them — cross-doc corruption)
             try:
-                if hi > lo and kinds[lo] == "html":
+                if hi > lo and kinds[lo] == RAW_HTML:
                     html = "\n".join(
-                        texts[j] for j in range(lo, hi) if kinds[j] == "html" and texts[j]
+                        texts[j] for j in range(lo, hi) if kinds[j] == RAW_HTML and texts[j]
                     )
                     out = extract_html_document(doc_id, html)
+                    n = len(out)
+                    for s in out:
+                        out_k.append(s["kind"])
+                        out_t.append(s["text"])
+                        out_r.append(s["media_ref"])
+                        out_o.append(s["offset"])
+                    method, err = METHOD_DEFAULT, None
+                elif hi > lo and kinds[lo] in _DOC_READERS:
+                    reader, joiner = _DOC_READERS[kinds[lo]]
+                    fmt = kinds[lo]
+                    parts = [
+                        texts[j] for j in range(lo, hi) if kinds[j] == fmt and texts[j]
+                    ]
+                    payload = (joiner or "").join(parts) if joiner or len(parts) <= 1 else None
+                    if payload is None:
+                        raise ValueError(f"{fmt}: expected one payload span, got {len(parts)}")
+                    out = reader(payload)
                     n = len(out)
                     for s in out:
                         out_k.append(s["kind"])

@@ -42,7 +42,10 @@ from ..model import (
     DOCS_EXTRACTED_SCHEMA,
     METHOD_DEFAULT,
     METHOD_FAILED,
+    RAW_DOCTAGS,
     RAW_HTML,
+    RAW_JSON,
+    RAW_MARKDOWN,
     RAW_PDF_CELL,
     RAW_PDF_IMAGE,
     RAW_PDF_TABLE,
@@ -52,7 +55,18 @@ MAGIC = b"DFSB"
 VERSION = 1
 _NULL = 0xFFFFFFFF
 
-_KIND_CODE = {RAW_HTML: 0, RAW_PDF_CELL: 1, RAW_PDF_IMAGE: 2, RAW_PDF_TABLE: 3}
+# codes 4-6: the serialization-reader formats (additive — payloads packed
+# by older writers parse unchanged; an old READER meeting a new code
+# correctly fails the doc as an unknown kind, degrade-never-die)
+_KIND_CODE = {
+    RAW_HTML: 0,
+    RAW_PDF_CELL: 1,
+    RAW_PDF_IMAGE: 2,
+    RAW_PDF_TABLE: 3,
+    RAW_MARKDOWN: 4,
+    RAW_DOCTAGS: 5,
+    RAW_JSON: 6,
+}
 _CODE_KIND = {v: k for k, v in _KIND_CODE.items()}
 
 PACKED_SCHEMA = T.StructType(
@@ -143,6 +157,7 @@ def pack_raw(df: DataFrame) -> DataFrame:
 
 def _extract_binary_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     # imported here so the kernel closure ships cleanly to workers
+    from ..operators.dispatch import _DOC_READERS
     from ..operators.html_extract import extract_html_document
     from ..operators.pdf_layout import extract_pdf_document
 
@@ -156,6 +171,14 @@ def _extract_binary_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
                         s["text"] for s in spans if s["kind"] == RAW_HTML and s["text"]
                     )
                     out = extract_html_document(doc_id, html)
+                    method, err = METHOD_DEFAULT, None
+                elif len(spans) > 0 and spans[0]["kind"] in _DOC_READERS:
+                    reader, joiner = _DOC_READERS[spans[0]["kind"]]
+                    fmt = spans[0]["kind"]
+                    parts = [s["text"] for s in spans if s["kind"] == fmt and s["text"]]
+                    if joiner is None and len(parts) > 1:
+                        raise ValueError(f"{fmt}: expected one payload span")
+                    out = reader((joiner or "").join(parts))
                     method, err = METHOD_DEFAULT, None
                 else:
                     out, method = extract_pdf_document(spans)

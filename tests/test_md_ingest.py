@@ -143,3 +143,53 @@ def test_json_spark_roundtrip_lossless(spark, sf_dir):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert back.filter("conversion_method != 'default'").count() == 0
+
+
+def test_dispatch_routes_serialization_formats(spark, sf_dir):
+    """A mixed corpus where re-serialized docs carry raw kind
+    markdown/doctags/json_doc extracts through the SAME extract_auto
+    dispatch (and the DFSB binary path) as html/pdf docs."""
+    from docling_fast_server_spark.sources.binary_pack import extract_binary, pack_raw
+
+    extracted = extract_auto(docs_raw(spark, sf_dir, which="all")).limit(30)
+    exp = with_exports(extracted)
+    raw_again = exp.select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.when(F.col("doc_id").substr(-1, 1).isin("0", "1", "2", "3") , F.lit("markdown"))
+                .when(F.col("doc_id").substr(-1, 1).isin("4", "5", "6"), F.lit("doctags"))
+                .otherwise(F.lit("json_doc"))
+                .alias("kind"),
+                F.when(F.col("doc_id").substr(-1, 1).isin("0", "1", "2", "3"), F.col("markdown"))
+                .when(F.col("doc_id").substr(-1, 1).isin("4", "5", "6"), F.col("doctags"))
+                .otherwise(F.col("doc_json"))
+                .alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+    def flat(df):
+        return df.select("doc_id", F.explode("spans").alias("s")).select(
+            "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+        )
+
+    # expected: the original extraction, with table refs nulled for the
+    # lossy formats (markdown + doctags docs) and exact for json docs
+    lossy = F.col("doc_id").substr(-1, 1).isin("0", "1", "2", "3", "4", "5", "6")
+    want = extracted.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        "s.kind",
+        "s.text",
+        F.when((F.col("s.kind") == "table") & lossy, F.lit(None).cast("string"))
+        .otherwise(F.col("s.media_ref"))
+        .alias("media_ref"),
+        "s.offset",
+    )
+    for back in (extract_auto(raw_again), extract_binary(pack_raw(raw_again))):
+        assert back.filter("conversion_method != 'default'").count() == 0
+        got = flat(back)
+        assert want.exceptAll(got).count() == 0
+        assert got.exceptAll(want).count() == 0
