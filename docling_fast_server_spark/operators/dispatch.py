@@ -102,10 +102,9 @@ def _extract_auto_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Record
                     parts = [
                         texts[j] for j in range(lo, hi) if kinds[j] == fmt and texts[j]
                     ]
-                    payload = (joiner or "").join(parts) if joiner or len(parts) <= 1 else None
-                    if payload is None:
+                    if joiner is None and len(parts) > 1:
                         raise ValueError(f"{fmt}: expected one payload span, got {len(parts)}")
-                    out = reader(payload)
+                    out = reader((joiner or "").join(parts))
                     n = len(out)
                     for s in out:
                         out_k.append(s["kind"])
