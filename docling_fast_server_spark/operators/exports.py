@@ -177,3 +177,29 @@ def write_exports_partitioned(df, path: str, compression: str = "zstd") -> None:
         .partitionBy("format")
         .parquet(path)
     )
+
+
+def read_export_spans(spark, path: str, fmt: str):
+    """Re-hydrate documents from the S9 partitioned export store: scan
+    ONLY the requested format's partition (pruned — asserted in
+    tests/test_exports_sink.py) and run the matching serialization
+    reader (md_ingest) back to spans. Closes the loop: export store ->
+    first-class raw input, with each format's documented lossiness
+    (json is exact)."""
+    from pyspark.sql import functions as F
+
+    from .md_ingest import extract_doctags, extract_json, extract_markdown
+
+    readers = {
+        "markdown": extract_markdown,
+        "doctags": extract_doctags,
+        "json": extract_json,
+    }
+    if fmt not in readers:
+        raise ValueError(f"no reader for export format {fmt!r} (have {sorted(readers)})")
+    part = (
+        spark.read.parquet(path)
+        .filter(F.col("format") == fmt)
+        .select("doc_id", "payload")
+    )
+    return readers[fmt](part, "payload")

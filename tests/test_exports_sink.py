@@ -62,3 +62,27 @@ def test_partitioned_content_matches_columns(spark, sf_dir, tmp_path):
     assert diff.count() == 0
     # melt preserves cardinality: 4 rows per doc
     assert melt_exports(ext).count() == 4 * ext.count()
+
+
+def test_read_export_spans_rehydrates(spark, sf_dir, tmp_path):
+    """Export store -> reader -> spans: the json partition re-hydrates
+    the extraction EXACTLY; unknown formats are rejected."""
+    import pytest
+
+    from docling_fast_server_spark.operators.exports import read_export_spans
+
+    out = str(tmp_path / "exports")
+    ext = _extracted(spark, sf_dir)
+    write_exports_partitioned(ext, out)
+    back = read_export_spans(spark, out, "json")
+    a = ext.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    b = back.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert back.filter("conversion_method != 'default'").count() == 0
+    with pytest.raises(ValueError, match="no reader"):
+        read_export_spans(spark, out, "html")
