@@ -176,7 +176,8 @@ def _best_of(fn, reps: int, gate: float = NEIGHBOR_GATE, extra: int = EXTRA_REPS
     that ran alongside it. If the best rep was contended past `gate`,
     up to `extra` more attempts run after waiting for quiet — best-of
     alone cannot absorb a burst that covers every scheduled rep.
-    Returns (best_sec, neighbor_cores_during_best, attempts)."""
+    Returns (best_sec, neighbor_cores_during_best, attempts,
+    iowait_cores_during_best)."""
     best, best_nb, best_io, attempts = float("inf"), float("inf"), 0.0, 0
     for i in range(reps + extra):
         if i >= reps:
@@ -420,13 +421,6 @@ def main() -> None:
                 t_c, _, nb_c = _time_extraction(c, raw_path)
                 ladder[c] = n_docs / t_c
                 nbs[c] = max(qn, nb_c)
-        strong_pairs = {}
-        for lo, hi in pairs_spec:
-            if lo in ladder and hi in ladder:
-                strong_pairs[f"{lo}->{hi}"] = {
-                    "speedup": round(ladder[hi] / ladder[lo], 3),
-                    "efficiency": round(ladder[hi] / ladder[lo] / (hi / lo), 3),
-                }
         weak_ladder = {CPUS: {"thr": thr_hi, "n_docs": n_docs}}
         weak_nbs = {CPUS: max(q0, nb_hi)}
         for c in (16, 8, 4):
@@ -456,14 +450,14 @@ def main() -> None:
                 ladder[CPUS] = thr_hi
                 weak_ladder[CPUS] = {"thr": thr_hi, "n_docs": n_docs}
                 nbs[CPUS] = weak_nbs[CPUS] = nb_r
-                for lo, hi in pairs_spec:
-                    if lo in ladder and hi in ladder:
-                        strong_pairs[f"{lo}->{hi}"] = {
-                            "speedup": round(ladder[hi] / ladder[lo], 3),
-                            "efficiency": round(
-                                ladder[hi] / ladder[lo] / (hi / lo), 3
-                            ),
-                        }
+        # pairs computed ONCE, after any top-rung retry settled the ladder
+        strong_pairs = {}
+        for lo, hi in pairs_spec:
+            if lo in ladder and hi in ladder:
+                strong_pairs[f"{lo}->{hi}"] = {
+                    "speedup": round(ladder[hi] / ladder[lo], 3),
+                    "efficiency": round(ladder[hi] / ladder[lo] / (hi / lo), 3),
+                }
         weak_pairs = {}
         for lo, hi in pairs_spec:
             if lo in weak_ladder and hi in weak_ladder:

@@ -186,8 +186,6 @@ def read_export_spans(spark, path: str, fmt: str):
     reader (md_ingest) back to spans. Closes the loop: export store ->
     first-class raw input, with each format's documented lossiness
     (json is exact)."""
-    from pyspark.sql import functions as F
-
     from .md_ingest import extract_doctags, extract_json, extract_markdown
 
     readers = {

@@ -83,31 +83,46 @@ def extract_markdown_document(markdown: str) -> list[dict]:
     return spans
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        ids, spans_col, methods, errors = [], [], [], []
-        for doc_id, md in zip(pdf["doc_id"], pdf["markdown"]):
-            try:
-                out = extract_markdown_document(md or "")
-                method, err = METHOD_DEFAULT, None
-            except Exception as e:  # degrade, never die
-                out, method, err = [], METHOD_FAILED, str(e)[:500]
-            ids.append(doc_id)
-            spans_col.append(out)
-            methods.append(method)
-            errors.append(err)
-        yield pd.DataFrame(
-            {"doc_id": ids, "spans": spans_col, "conversion_method": methods, "error": errors}
-        )
+def _make_reader_kernel(reader):
+    """Shared degrade-never-die batch loop for every serialization
+    reader — one implementation so a fix (e.g. the per-doc type
+    validation above) cannot drift across formats."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, spans_col, methods, errors = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    out = reader(payload or "")
+                    method, err = METHOD_DEFAULT, None
+                except Exception as e:  # degrade, never die
+                    out, method, err = [], METHOD_FAILED, str(e)[:500]
+                ids.append(doc_id)
+                spans_col.append(out)
+                methods.append(method)
+                errors.append(err)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "spans": spans_col,
+                    "conversion_method": methods,
+                    "error": errors,
+                }
+            )
+
+    return run
+
+
+def _reader_df(df, reader, col: str):
+    return df.select("doc_id", df[col].alias("payload")).mapInPandas(
+        _make_reader_kernel(reader), schema=DOCS_EXTRACTED_SCHEMA
+    )
 
 
 def extract_markdown(df, md_col: str = "markdown"):
     """DataFrame(doc_id, <md_col>) -> DataFrame(doc_id, spans,
     conversion_method, error). Narrow map stage — no shuffle."""
-    return (
-        df.select("doc_id", df[md_col].alias("markdown"))
-        .mapInPandas(_extract_batches, schema=DOCS_EXTRACTED_SCHEMA)
-    )
+    return _reader_df(df, extract_markdown_document, md_col)
 
 
 # ---------------------------------------------------------------------------
@@ -151,30 +166,9 @@ def extract_doctags_document(doctags: str) -> list[dict]:
     return spans
 
 
-def _extract_doctags_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        ids, spans_col, methods, errors = [], [], [], []
-        for doc_id, dt in zip(pdf["doc_id"], pdf["doctags"]):
-            try:
-                out = extract_doctags_document(dt or "")
-                method, err = METHOD_DEFAULT, None
-            except Exception as e:  # degrade, never die
-                out, method, err = [], METHOD_FAILED, str(e)[:500]
-            ids.append(doc_id)
-            spans_col.append(out)
-            methods.append(method)
-            errors.append(err)
-        yield pd.DataFrame(
-            {"doc_id": ids, "spans": spans_col, "conversion_method": methods, "error": errors}
-        )
-
-
 def extract_doctags(df, dt_col: str = "doctags"):
     """DataFrame(doc_id, <dt_col>) -> extracted spans. Narrow map stage."""
-    return (
-        df.select("doc_id", df[dt_col].alias("doctags"))
-        .mapInPandas(_extract_doctags_batches, schema=DOCS_EXTRACTED_SCHEMA)
-    )
+    return _reader_df(df, extract_doctags_document, dt_col)
 
 
 # ---------------------------------------------------------------------------
@@ -186,49 +180,44 @@ def extract_doctags(df, dt_col: str = "doctags"):
 import json as _json
 
 
+_INT32_MAX = 2**31 - 1
+
+
 def extract_json_document(doc_json: str) -> list[dict]:
     """Canonical doc JSON -> ordered spans, exact (strict JSON parse —
-    the round-4 escaping is what makes every export parseable)."""
+    the round-4 escaping is what makes every export parseable).
+
+    Field TYPES are validated here, inside the per-document boundary: a
+    span with e.g. "text": 123 or an offset past int32 would otherwise
+    parse fine and then blow up the BATCH-level Arrow conversion
+    (pa.array(..., string/int32) raises outside every per-doc try) —
+    one malformed upload must degrade one document, never kill the
+    task (ArrowTypeError reproduced in review)."""
     spans = _json.loads(doc_json)
     if not isinstance(spans, list):
         raise ValueError("doc JSON must be a span array")
     out: list[dict] = []
     for s in spans:
-        out.append(
-            {
-                "kind": s["kind"],
-                "text": s["text"],
-                "media_ref": s["media_ref"],
-                "offset": int(s["offset"]),
-            }
-        )
+        kind, text, ref, off = s["kind"], s["text"], s["media_ref"], s["offset"]
+        if not isinstance(kind, str):
+            raise ValueError(f"span kind must be a string, got {type(kind).__name__}")
+        if text is not None and not isinstance(text, str):
+            raise ValueError(f"span text must be string/null, got {type(text).__name__}")
+        if ref is not None and not isinstance(ref, str):
+            raise ValueError(f"span media_ref must be string/null, got {type(ref).__name__}")
+        if isinstance(off, bool) or not isinstance(off, int) or not (0 <= off <= _INT32_MAX):
+            raise ValueError(f"span offset must be an int32 index, got {off!r}")
+        out.append({"kind": kind, "text": text, "media_ref": ref, "offset": off})
     if len(out) > MAX_SPANS_PER_DOC:
         raise ValueError(f"document exceeds span ceiling ({len(out)} spans)")
     return out
 
 
-def _extract_json_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        ids, spans_col, methods, errors = [], [], [], []
-        for doc_id, dj in zip(pdf["doc_id"], pdf["doc_json"]):
-            try:
-                out = extract_json_document(dj or "[]")
-                method, err = METHOD_DEFAULT, None
-            except Exception as e:  # degrade, never die
-                out, method, err = [], METHOD_FAILED, str(e)[:500]
-            ids.append(doc_id)
-            spans_col.append(out)
-            methods.append(method)
-            errors.append(err)
-        yield pd.DataFrame(
-            {"doc_id": ids, "spans": spans_col, "conversion_method": methods, "error": errors}
-        )
-
-
 def extract_json(df, json_col: str = "doc_json"):
     """DataFrame(doc_id, <json_col>) -> extracted spans — the lossless
-    serialization reader. Narrow map stage."""
-    return (
-        df.select("doc_id", df[json_col].alias("doc_json"))
-        .mapInPandas(_extract_json_batches, schema=DOCS_EXTRACTED_SCHEMA)
-    )
+    serialization reader. Narrow map stage.
+
+    Note the empty-payload semantics: a NULL/empty json payload is a
+    MALFORMED document (json.loads("") raises) and degrades to failed,
+    while empty markdown/doctags payloads are valid empty documents."""
+    return _reader_df(df, extract_json_document, json_col)

@@ -101,6 +101,12 @@ def run_extraction(
         ),
         out_path,
     )
+    if not table_exists(spark, out_path):
+        # nothing ever committed (empty input on a fresh table: the merge
+        # bootstrap leaves only <out>/_commits, no data files) — a plain
+        # read would fail schema inference, and there is no lineage to
+        # record for a run that processed zero documents
+        return run_id
     committed = read_table(spark, out_path).filter(F.col("run_id") == run_id)
     append_table(
         lineage_summary(committed).withColumns(

@@ -478,14 +478,43 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
     parent = os.path.dirname(abs_path)
     commits_dir = os.path.join(abs_path, "_commits")
 
-    # (1) all staged-data Spark work, outside the lock, outside `path`
-    # NON-hidden names: these sibling dirs are outside the table (no
-    # table reader ever lists them), and a dot-prefixed read path makes
-    # Spark's PathFilter warn "All paths were ignored" on every commit
-    staging = tempfile.mkdtemp(prefix="dfss-stage-", dir=parent)
+    # (1) all staged-data Spark work, outside the lock, outside `path`.
+    # Every sibling scratch dir is REGISTERED so no in-process exception
+    # path (including retry exhaustion) can strand full copies of the
+    # staged data next to the table; hard-crash leftovers are swept by
+    # remove_orphan_staging (the Iceberg remove_orphan_files analog).
+    scratch: list[str] = []
+    try:
+        return _merge_commit(spark, df, abs_path, parent, commits_dir, key, scratch)
+    except BaseException:
+        for d in scratch:
+            shutil.rmtree(d, ignore_errors=True)
+        raise
+
+
+def _merge_commit(
+    spark, df: DataFrame, abs_path: str, parent: str, commits_dir: str, key: str, scratch: list
+) -> int:
+    """merge_append_table's parquet protocol body; `scratch` collects
+    every sibling temp dir for the caller's exception cleanup (a dir
+    already consumed by the commit is rmtree'd here and the redundant
+    cleanup is a no-op)."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    def _mkscratch(prefix: str) -> str:
+        # NON-hidden names: these sibling dirs are outside the table (no
+        # table reader ever lists them), and a dot-prefixed read path
+        # makes Spark's PathFilter warn "All paths were ignored"
+        d = tempfile.mkdtemp(prefix=prefix, dir=parent)
+        scratch.append(d)
+        return d
+
+    staging = _mkscratch("dfss-stage-")
     df.write.mode("overwrite").parquet(staging)
     staged = spark.read.parquet(staging)
-    kstage = tempfile.mkdtemp(prefix="dfss-kstage-", dir=parent)
+    kstage = _mkscratch("dfss-kstage-")
     staged.select(key).distinct().write.mode("overwrite").parquet(kstage)
     n_rows = staged.count()
     n_keys = spark.read.parquet(kstage).count()
@@ -554,10 +583,17 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
             ]
         # (5) rewrite outside the lock against the snapshot we saw; any
         # commit landing after that snapshot is caught by the next
-        # attempt's overlap count
-        seen = spark.read.parquet(*overlap_key_paths).select(key)
-        filtered = tempfile.mkdtemp(prefix="dfss-stage-", dir=parent)
-        staged.join(seen, key, "left_anti").write.mode("overwrite").parquet(filtered)
+        # attempt's overlap count. The snapshotted key FILES can vanish
+        # under a concurrent lock-held rollback/retention/compaction —
+        # that just invalidates this attempt's snapshot, so re-enter the
+        # loop and re-read under the lock instead of crashing mid-retry.
+        filtered = _mkscratch("dfss-stage-")
+        try:
+            seen = spark.read.parquet(*overlap_key_paths).select(key)
+            staged.join(seen, key, "left_anti").write.mode("overwrite").parquet(filtered)
+        except Exception:
+            shutil.rmtree(filtered, ignore_errors=True)
+            continue
         shutil.rmtree(staging)
         staging = filtered
         staged = spark.read.parquet(staging)
@@ -568,6 +604,39 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
         f"merge_append_table({abs_path}): still conflicting after 10 "
         "optimistic retries — pathological commit contention"
     )
+
+
+def remove_orphan_staging(path: str, older_than_s: float = 4 * LOCK_STALE_S) -> int:
+    """Maintenance sweep (the Iceberg `remove_orphan_files` analog):
+    delete sibling dfss-stage-*/dfss-kstage-* scratch dirs next to the
+    table that a HARD-crashed writer left behind (in-process failures
+    clean up after themselves). Age-gated: a live writer parked on the
+    commit lock keeps its fully-written staging idle, so only dirs whose
+    newest mtime is older than `older_than_s` (default 4x the lock
+    staleness horizon — any writer that old is dead by the lock's own
+    definition) are removed. Run it from maintenance windows, not
+    automatically. Returns the number of dirs removed."""
+    import shutil
+    import time
+
+    parent = os.path.dirname(os.path.abspath(path.rstrip("/")))
+    now = time.time()
+    removed = 0
+    for d in os.listdir(parent):
+        if not (d.startswith("dfss-stage-") or d.startswith("dfss-kstage-")):
+            continue
+        full = os.path.join(parent, d)
+        try:
+            newest = max(
+                (os.path.getmtime(os.path.join(full, f)) for f in os.listdir(full)),
+                default=os.path.getmtime(full),
+            )
+        except OSError:
+            continue  # raced another sweeper or the owner's own cleanup
+        if now - newest > older_than_s:
+            shutil.rmtree(full, ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def overwrite_table(df: DataFrame, path: str) -> None:

@@ -193,3 +193,42 @@ def test_dispatch_routes_serialization_formats(spark, sf_dir):
         got = flat(back)
         assert want.exceptAll(got).count() == 0
         assert got.exceptAll(want).count() == 0
+
+
+def test_json_type_violations_degrade_per_doc(spark):
+    """A span with a non-string text or an out-of-int32 offset must fail
+    THAT document (conversion_method=failed), never the Arrow batch —
+    pa.array(..., string/int32) would otherwise raise outside every
+    per-doc try and kill the task."""
+    from docling_fast_server_spark.operators.md_ingest import extract_json
+
+    rows = [
+        ("d-ok", '[{"kind":"text","text":"fine","media_ref":null,"offset":0}]'),
+        ("d-badtext", '[{"kind":"text","text":123,"media_ref":null,"offset":0}]'),
+        ("d-badoff", '[{"kind":"text","text":"x","media_ref":null,"offset":1099511627776}]'),
+        ("d-badkind", '[{"kind":7,"text":"x","media_ref":null,"offset":0}]'),
+        ("d-empty-payload", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, doc_json string")
+    out = {r["doc_id"]: r for r in extract_json(df).collect()}
+    assert out["d-ok"]["conversion_method"] == "default"
+    assert [s["text"] for s in out["d-ok"]["spans"]] == ["fine"]
+    for bad in ("d-badtext", "d-badoff", "d-badkind", "d-empty-payload"):
+        assert out[bad]["conversion_method"] == "failed", bad
+        assert out[bad]["spans"] == []
+
+    # the dispatch path degrades the same doc identically (per-doc
+    # truncation keeps neighbors intact)
+    from docling_fast_server_spark.operators.dispatch import extract_auto
+
+    raw = spark.createDataFrame(
+        [
+            (d, [{"kind": "json_doc", "text": j, "media_ref": None, "offset": 0}])
+            for d, j in rows
+            if j is not None
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    out2 = {r["doc_id"]: r for r in extract_auto(raw).collect()}
+    assert out2["d-ok"]["conversion_method"] == "default"
+    assert all(out2[b]["conversion_method"] == "failed" for b in ("d-badtext", "d-badoff", "d-badkind"))

@@ -232,3 +232,51 @@ def test_lock_holds_at_most_one_spark_action(spark, tmp_path, monkeypatch):
     back = spark.read.parquet(path)
     assert back.count() == 300
     assert back.select("doc_id").distinct().count() == 300
+
+
+def test_no_scratch_leak_on_failure(spark, tmp_path, monkeypatch):
+    """An in-process failure anywhere in the merge protocol must not
+    strand sibling dfss-stage-*/dfss-kstage-* dirs next to the table."""
+    from contextlib import contextmanager
+
+    from pyspark.sql import functions as F
+
+    from docling_fast_server_spark.sources import io as io_mod
+
+    @contextmanager
+    def boom(commits_dir):
+        raise RuntimeError("injected lock failure")
+        yield  # pragma: no cover
+
+    import os
+
+    monkeypatch.setattr(io_mod, "_commit_lock", boom)
+    path = str(tmp_path / "t")
+    df = spark.range(50).select(F.col("id").alias("doc_id"), F.lit("x").alias("v"))
+    import pytest
+
+    with pytest.raises(RuntimeError, match="injected"):
+        io_mod.merge_append_table(df, path)
+    leftovers = [d for d in os.listdir(tmp_path) if d.startswith("dfss-")]
+    assert leftovers == [], leftovers
+
+
+def test_remove_orphan_staging_age_gated(tmp_path):
+    import os
+    import time
+
+    from docling_fast_server_spark.sources import io as io_mod
+
+    table = tmp_path / "t"
+    table.mkdir()
+    stale = tmp_path / "dfss-stage-stale"
+    stale.mkdir()
+    (stale / "part-0.parquet").write_bytes(b"x")
+    fresh = tmp_path / "dfss-kstage-fresh"
+    fresh.mkdir()
+    (fresh / "part-0.parquet").write_bytes(b"y")
+    old_t = time.time() - 10_000
+    os.utime(stale, (old_t, old_t))
+    os.utime(stale / "part-0.parquet", (old_t, old_t))
+    assert io_mod.remove_orphan_staging(str(table), older_than_s=1200) == 1
+    assert not stale.exists() and fresh.exists()

@@ -139,3 +139,20 @@ def test_run_extraction_materializes_no_storage_blocks(spark, sf_dir, workdir):
     ).collect()[0]
     assert agg["docs"] == raw.count()
     assert agg["errs"] == 0
+
+
+def test_run_extraction_empty_input_on_fresh_table(spark, sf_dir, workdir):
+    """A run over zero documents against a never-written table must
+    succeed with no lineage rows (the merge bootstrap leaves only
+    _commits; a blind read-back would fail schema inference)."""
+    out = os.path.join(workdir, "docs_spans")
+    lin = os.path.join(workdir, "lineage")
+    raw = docs_raw(spark, sf_dir, which="all").filter("doc_id = 'no-such-doc'")
+    run_extraction(spark, raw, out, lin, run_id="empty", partitions=2)
+    from docling_fast_server_spark.sources.io import table_exists
+
+    assert not table_exists(spark, out)
+    assert not table_exists(spark, lin)
+    # and a later real run on the same paths proceeds normally
+    run_extraction(spark, docs_raw(spark, sf_dir, which="all"), out, lin, run_id="real", partitions=4)
+    assert read_table(spark, out).count() > 0
