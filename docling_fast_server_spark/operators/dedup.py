@@ -97,23 +97,46 @@ def _docs(spark, sf_dir) -> DataFrame:
 #     dedup.clear_caches()
 # (bench.py calls it between headline queries; tests assert no persisted
 # RDDs survive — the round-3 verdict's cache-hygiene item.)
-_LIVE_CACHES: list[DataFrame] = []
+#
+# The registry is scoped PER SparkSession and mutated under a lock, so
+# concurrent sessions (or threads driving different sessions) cannot
+# interleave registrations, and one caller's clear_caches() can never
+# unpersist another session's in-flight hash set mid-query. Callers that
+# share one session across threads still coordinate their own
+# clear_caches() timing — release only after every consumer's action.
+import threading as _threading
+import weakref as _weakref
+
+_CACHES_LOCK = _threading.Lock()
+# session -> list of persisted frames; weak keys so a stopped/dropped
+# session cannot pin its DataFrames (and the registry cannot grow
+# unboundedly across session lifetimes)
+_LIVE_CACHES: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
 
 
 def _register_cache(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    _LIVE_CACHES.append(df)
+    with _CACHES_LOCK:
+        _LIVE_CACHES.setdefault(df.sparkSession, []).append(df)
     return df
 
 
-def clear_caches() -> int:
+def clear_caches(spark=None) -> int:
     """Unpersist every intermediate cached by dedup queries since the
-    last call. Returns the number of caches released."""
+    last call — for ``spark``'s session only, or for every live session
+    when called with no argument (the single-session CLI/bench shape).
+    Returns the number of caches released."""
+    with _CACHES_LOCK:
+        if spark is None:
+            drained: list[DataFrame] = []
+            for sess in list(_LIVE_CACHES):
+                drained.extend(_LIVE_CACHES.pop(sess, []))
+        else:
+            drained = _LIVE_CACHES.pop(spark, [])
     n = 0
-    while _LIVE_CACHES:
-        df = _LIVE_CACHES.pop()
+    for df in drained:
         try:
             df.unpersist(blocking=False)
             n += 1

@@ -22,8 +22,19 @@ join of the serializer; code fences contain single newlines only):
     anything else             -> text
 
 Lossiness contract (tested): re-ingesting an exported document recovers
-every span exactly EXCEPT table media_refs, which markdown cannot carry —
-the same class of round-trip loss docling's own md serializer has.
+every span exactly EXCEPT
+  * table media_refs, which markdown cannot carry — the same class of
+    round-trip loss docling's own md serializer has;
+  * spans whose TEXT collides with the block grammar itself, which
+    markdown fundamentally cannot distinguish: a code span with empty
+    text exports as "```\n\n```" whose embedded blank line splits into
+    two bare "```" text spans, and a text span whose content starts
+    with a block marker ("## ", "- ", "| ", "$$ ", "```") re-ingests
+    as that block's kind. The extraction kernels never emit such spans
+    (span text is non-empty words joined by single spaces), so the
+    round-trip is exact for every kernel-produced document; arbitrary
+    user uploads fall back to the json/doctags/html readers, which have
+    no such ambiguity (tests/test_md_ingest.py pins both cases).
 
 Vectorized as mapInPandas over Arrow batches; degrade-never-die per
 document like the other kernels.
@@ -208,6 +219,12 @@ def extract_json_document(doc_json: str) -> list[dict]:
         if isinstance(off, bool) or not isinstance(off, int) or not (0 <= off <= _INT32_MAX):
             raise ValueError(f"span offset must be an int32 index, got {off!r}")
         out.append({"kind": kind, "text": text, "media_ref": ref, "offset": off})
+    if len({s["offset"] for s in out}) != len(out):
+        # the chunker's ordering contract requires per-doc offset
+        # uniqueness (asserted for the extraction kernels by
+        # test_offsets_unique_per_doc); a duplicate-offset upload must
+        # degrade this one document, not flow through nondeterministically
+        raise ValueError("duplicate span offsets in document")
     if len(out) > MAX_SPANS_PER_DOC:
         raise ValueError(f"document exceeds span ceiling ({len(out)} spans)")
     return out

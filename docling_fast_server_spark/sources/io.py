@@ -88,8 +88,16 @@ _HEARTBEAT_S = LOCK_STALE_S / 10  # holder refreshes lock mtime this often
 
 
 @contextmanager
-def _commit_lock(commits_dir: str):
+def _commit_lock(commits_dir: str, keepalive: tuple = ()):
     """Table commit lock: atomic POSIX mkdir (the catalog analog).
+
+    ``keepalive``: scratch paths (a waiter's fully-written staging dirs)
+    whose mtimes are refreshed while WAITING on the lock and while
+    holding it, so remove_orphan_staging's age gate — which otherwise
+    only sees the holder's heartbeat on the lock itself — never sweeps a
+    live writer parked behind contention (ADVICE r04: a waiter queued
+    >4x LOCK_STALE_S lost its staging to a concurrent sweep and failed
+    ENOENT at rename time).
 
     Stale-lock recovery must be SOUND under racing stealers and
     long-stalled live holders (round 2's rmdir+retry steal let two
@@ -140,8 +148,25 @@ def _commit_lock(commits_dir: str):
         except OSError:
             return []
 
+    last_alive = 0.0
+
+    def _keep_alive() -> None:
+        # throttled to the heartbeat period — utime is cheap but there is
+        # no reason to issue it every 50 ms of the wait loop
+        nonlocal last_alive
+        now = time.time()
+        if now - last_alive < _HEARTBEAT_S:
+            return
+        last_alive = now
+        for p in keepalive:
+            try:
+                os.utime(p)
+            except OSError:
+                pass  # already consumed by the commit, or swept
+
     missing = 0
     while True:
+        _keep_alive()
         try:
             os.mkdir(lock)
             open(os.path.join(lock, token), "w").close()
@@ -208,6 +233,11 @@ def _commit_lock(commits_dir: str):
 
     def _beat() -> None:
         while not stop.wait(_HEARTBEAT_S):
+            for p in keepalive:
+                try:
+                    os.utime(p)
+                except OSError:
+                    pass  # consumed by the commit already
             try:
                 os.utime(lock)
             except OSError:  # pragma: no cover — lock briefly absent (a
@@ -415,7 +445,31 @@ def expire_snapshots(path: str, keep_last: int = 1) -> int:
         return len(old)
 
 
-def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
+class CommitResult(int):
+    """merge_append_table's return: the committed ROW COUNT (an int, so
+    every existing `== n` comparison holds) annotated with the commit's
+    identity so callers can read back EXACTLY the files this commit
+    added instead of filter-scanning the whole cumulative table (the
+    VERDICT r04 lineage-at-100TB item; the job store analog writes
+    per-job rows and never rescans history, job_db.py:129-161).
+
+    commit_id: the manifest's commit id, or None when nothing committed
+      (empty/fully-duplicate input) or on the Iceberg path (the catalog
+      snapshot is the identity there).
+    files: table-relative data-file names this commit added ([] when
+      nothing committed; None on the Iceberg path)."""
+
+    commit_id: str | None
+    files: list | None
+
+    def __new__(cls, n: int, commit_id=None, files=None):
+        self = super().__new__(cls, n)
+        self.commit_id = commit_id
+        self.files = files
+        return self
+
+
+def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> "CommitResult":
     """MERGE-grade idempotent append: rows whose `key` is already
     committed are dropped AT COMMIT TIME, so two OVERLAPPING writers can
     both stage the same document and only one copy becomes visible — the
@@ -458,7 +512,8 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
     (4) leaves merge-prefixed files no manifest references — invisible
     to manifest-driven readers immediately, and swept for plain
     spark.read.parquet readers by the next commit's GC pass (3).
-    Returns the number of rows actually committed."""
+    Returns a CommitResult: the committed row count (int-compatible)
+    annotated with commit_id + the data-file names this commit added."""
     import shutil
     import tempfile
     import uuid as _uuid
@@ -472,7 +527,7 @@ def merge_append_table(df: DataFrame, path: str, key: str = "doc_id") -> int:
             f"MERGE INTO {path} t USING {view} s ON t.{key} = s.{key} "
             "WHEN NOT MATCHED THEN INSERT *"
         )
-        return n
+        return CommitResult(n)  # file identity lives in the catalog snapshot
 
     abs_path = os.path.abspath(path.rstrip("/"))
     parent = os.path.dirname(abs_path)
@@ -520,7 +575,10 @@ def _merge_commit(
     n_keys = spark.read.parquet(kstage).count()
 
     for _attempt in range(10):  # optimistic conflict-retry bound
-        with _commit_lock(commits_dir) as held:
+        # keepalive: a writer parked here behind contention keeps its
+        # staged dirs' mtimes fresh so remove_orphan_staging never sweeps
+        # a live waiter (only hard-crashed writers age out)
+        with _commit_lock(commits_dir, keepalive=(staging, kstage)) as held:
             # holding the lock excludes any _swap_table rename window,
             # so mutating the table directory is safe from here on
             os.makedirs(_keys_dir(commits_dir), exist_ok=True)
@@ -535,7 +593,7 @@ def _merge_commit(
                 if n_keys == 0:
                     shutil.rmtree(staging)
                     shutil.rmtree(kstage)
-                    return 0
+                    return CommitResult(0, commit_id=None, files=[])
                 commit_id = _uuid.uuid4().hex[:12]
                 held()  # fencing AFTER all Spark work (the long stall
                 # window): nothing irreversible has happened yet, so a
@@ -573,7 +631,7 @@ def _merge_commit(
                     },
                 )
                 spark.catalog.refreshByPath(abs_path)
-                return n_rows
+                return CommitResult(n_rows, commit_id=commit_id, files=data_files)
             # overlap with a racing commit: remember the committed-key
             # files we saw; the rewrite runs AFTER the lock is released
             overlap_key_paths = [
@@ -610,9 +668,10 @@ def remove_orphan_staging(path: str, older_than_s: float = 4 * LOCK_STALE_S) -> 
     """Maintenance sweep (the Iceberg `remove_orphan_files` analog):
     delete sibling dfss-stage-*/dfss-kstage-* scratch dirs next to the
     table that a HARD-crashed writer left behind (in-process failures
-    clean up after themselves). Age-gated: a live writer parked on the
-    commit lock keeps its fully-written staging idle, so only dirs whose
-    newest mtime is older than `older_than_s` (default 4x the lock
+    clean up after themselves). Age-gated: a live writer — holder OR
+    waiter — refreshes its staging dirs' mtimes via _commit_lock's
+    keepalive heartbeat, so only dirs whose newest mtime (dir itself or
+    any file inside) is older than `older_than_s` (default 4x the lock
     staleness horizon — any writer that old is dead by the lock's own
     definition) are removed. Run it from maintenance windows, not
     automatically. Returns the number of dirs removed."""
@@ -627,9 +686,12 @@ def remove_orphan_staging(path: str, older_than_s: float = 4 * LOCK_STALE_S) -> 
             continue
         full = os.path.join(parent, d)
         try:
+            # the dir's OWN mtime participates: a live writer parked on
+            # the commit lock heartbeats it via _commit_lock(keepalive=)
+            # without rewriting any staged file
             newest = max(
-                (os.path.getmtime(os.path.join(full, f)) for f in os.listdir(full)),
-                default=os.path.getmtime(full),
+                [os.path.getmtime(full)]
+                + [os.path.getmtime(os.path.join(full, f)) for f in os.listdir(full)],
             )
         except OSError:
             continue  # raced another sweeper or the owner's own cleanup
@@ -711,21 +773,41 @@ def _swap_table(spark: SparkSession, path: str, transform) -> tuple[int, int]:
         old = tempfile.mkdtemp(prefix=".dfss-old-", dir=parent)
         os.rmdir(old)  # reserve a unique same-filesystem name for the rename
         os.rename(abs_path, old)
-        for attempt in range(5):
+        try:
+            for attempt in range(5):
+                try:
+                    os.rename(staging, abs_path)
+                    break
+                except OSError:
+                    # a concurrent waiter's lock-bootstrap makedirs recreated
+                    # a skeleton <path>/_commits inside our two-rename window
+                    # (µs). It holds no data — we renamed the table away — so
+                    # clear it and retry (bounded: another waiter can re-race
+                    # the gap); the waiter's fencing (held()) aborts it before
+                    # any publish, and its lock ops hit FileNotFoundError and
+                    # re-queue on the swapped-in table.
+                    if attempt == 4:
+                        raise
+                    _clear_skeleton(abs_path)
+        except BaseException as swap_err:
+            # retry exhaustion or a _clear_skeleton refusal must not leave
+            # the table path VANISHED with the only copy hidden under
+            # .dfss-old-*: put the original back before re-raising. If a
+            # skeleton (or worse) reoccupies the path and won't clear, the
+            # restore itself fails — surface the recovery path in that
+            # error so an operator can finish the rename by hand.
             try:
-                os.rename(staging, abs_path)
-                break
-            except OSError:
-                # a concurrent waiter's lock-bootstrap makedirs recreated
-                # a skeleton <path>/_commits inside our two-rename window
-                # (µs). It holds no data — we renamed the table away — so
-                # clear it and retry (bounded: another waiter can re-race
-                # the gap); the waiter's fencing (held()) aborts it before
-                # any publish, and its lock ops hit FileNotFoundError and
-                # re-queue on the swapped-in table.
-                if attempt == 4:
-                    raise
-                _clear_skeleton(abs_path)
+                if os.path.exists(abs_path):
+                    _clear_skeleton(abs_path)
+                os.rename(old, abs_path)
+                spark.catalog.refreshByPath(abs_path)
+            except BaseException as restore_err:
+                raise RuntimeError(
+                    f"swap of {abs_path} failed AND the original table "
+                    f"could not be restored ({restore_err}); the pre-swap "
+                    f"copy is intact at {old} — rename it back to recover"
+                ) from swap_err
+            raise
         shutil.rmtree(old)
         spark.catalog.refreshByPath(abs_path)
 

@@ -197,7 +197,7 @@ def test_lock_holds_at_most_one_spark_action(spark, tmp_path, monkeypatch):
     real_count, real_pq = DataFrame.count, DataFrameWriter.parquet
 
     @contextmanager
-    def spy(commits_dir):
+    def spy(commits_dir, keepalive=()):
         # count driver-side ACTION calls while the lock is held (jobs are
         # the wrong unit: AQE splits one action into several jobs)
         calls = {"n": 0}
@@ -210,7 +210,7 @@ def test_lock_holds_at_most_one_spark_action(spark, tmp_path, monkeypatch):
             calls["n"] += 1
             return real_pq(w_self, p, **kw)
 
-        with real(commits_dir) as held:
+        with real(commits_dir, keepalive=keepalive) as held:
             DataFrame.count, DataFrameWriter.parquet = counting, counting_pq
             try:
                 yield held
@@ -244,7 +244,7 @@ def test_no_scratch_leak_on_failure(spark, tmp_path, monkeypatch):
     from docling_fast_server_spark.sources import io as io_mod
 
     @contextmanager
-    def boom(commits_dir):
+    def boom(commits_dir, keepalive=()):
         raise RuntimeError("injected lock failure")
         yield  # pragma: no cover
 
