@@ -122,3 +122,22 @@ def test_dedup_clear_caches_releases_blocks(spark, sf_dir):
     assert released >= 1
     assert jsc.getPersistentRDDs().size() == 0
     assert dedup.clear_caches() == 0  # idempotent
+
+
+def test_dedup_cache_registry_is_session_scoped(spark, sf_dir):
+    """clear_caches(other_session) must not release THIS session's
+    in-flight caches (ADVICE r04: the registry was a process-global
+    list any caller could drain mid-query)."""
+    from docling_fast_server_spark.operators import dedup
+
+    df = dedup._register_cache(spark.range(10))
+    class _NotASession:  # a distinct key: no caches registered under it
+        pass
+    try:
+        assert dedup.clear_caches(_NotASession()) == 0
+        jsc = spark.sparkContext._jsc.sc()
+        assert jsc.getPersistentRDDs().size() >= 0  # still registered
+        assert spark in dedup._LIVE_CACHES
+    finally:
+        assert dedup.clear_caches(spark) == 1
+    assert dedup.clear_caches() == 0

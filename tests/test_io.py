@@ -50,3 +50,35 @@ def test_compact_and_stats(spark, sf_dir, tdir):
     chk = read_table(spark, path).agg(F.sum("n_chars")).collect()[0][0]
     orig = spark.read.parquet(f"{sf_dir}/documents.parquet").agg(F.sum("n_chars")).collect()[0][0]
     assert chk == orig
+
+
+def test_swap_failure_restores_original_table(spark, tdir, monkeypatch):
+    """If the swap's rename-in keeps failing (ADVICE r04: retry
+    exhaustion / skeleton refusal), the original table must be renamed
+    back — the path must never simply vanish for readers with the only
+    copy hidden under .dfss-old-*."""
+    path = os.path.join(tdir, "t")
+    spark.range(10).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"), F.col("id").alias("v")
+    ).write.parquet(path)
+    abs_path = os.path.abspath(path)
+
+    real_rename = os.rename
+
+    def sabotaged(src, dst, *a, **kw):
+        if dst == abs_path and "dfss-staging-" in os.path.basename(src):
+            # simulate a waiter bootstrap re-creating a skeleton in the
+            # two-rename window, persistently (all 5 attempts fail)
+            os.makedirs(os.path.join(abs_path, "_commits"), exist_ok=True)
+            raise OSError(39, "Directory not empty", dst)
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", sabotaged)
+    with pytest.raises(OSError):
+        retention_delete(spark, path, "v >= 5")
+    monkeypatch.undo()
+
+    # table restored in place, data intact, no hidden .dfss-old-* copy
+    spark.catalog.refreshByPath(path)
+    assert spark.read.parquet(path).count() == 10
+    assert [d for d in os.listdir(tdir) if d.startswith(".dfss-old-")] == []

@@ -232,3 +232,50 @@ def test_json_type_violations_degrade_per_doc(spark):
     out2 = {r["doc_id"]: r for r in extract_auto(raw).collect()}
     assert out2["d-ok"]["conversion_method"] == "default"
     assert all(out2[b]["conversion_method"] == "failed" for b in ("d-badtext", "d-badoff", "d-badkind"))
+
+
+# ---------------------------------------------------------------------------
+# round-5: json dup-offset rejection + documented markdown grammar collisions
+# ---------------------------------------------------------------------------
+def test_json_duplicate_offsets_degrade_one_document():
+    """A JSON upload with duplicate span offsets violates the chunker's
+    per-doc offset-uniqueness contract and must degrade to failed
+    (ADVICE r04), never flow through with nondeterministic ordering."""
+    import json
+
+    import pytest
+
+    from docling_fast_server_spark.operators.md_ingest import extract_json_document
+
+    dup = json.dumps(
+        [
+            {"kind": "text", "text": "a", "media_ref": None, "offset": 0},
+            {"kind": "text", "text": "b", "media_ref": None, "offset": 0},
+        ]
+    )
+    with pytest.raises(ValueError, match="duplicate span offsets"):
+        extract_json_document(dup)
+    ok = json.dumps(
+        [
+            {"kind": "text", "text": "a", "media_ref": None, "offset": 0},
+            {"kind": "text", "text": "b", "media_ref": None, "offset": 1},
+        ]
+    )
+    assert len(extract_json_document(ok)) == 2
+
+
+def test_markdown_grammar_collisions_are_the_documented_lossiness():
+    """Pins the two ambiguities the markdown lossiness contract names
+    (module docstring): kernel-unreachable spans whose text collides
+    with the block grammar do NOT round-trip — and that is documented
+    behavior, not a silent surprise."""
+    from docling_fast_server_spark.operators.md_ingest import extract_markdown_document
+
+    # empty code text: "```\n\n```" splits at the blank line into two
+    # bare "```" text spans
+    spans = extract_markdown_document("```\n\n```")
+    assert [(s["kind"], s["text"]) for s in spans] == [("text", "```"), ("text", "```")]
+
+    # marker-prefixed text span re-ingests as the marker's kind
+    spans = extract_markdown_document("## not a real heading")
+    assert spans[0]["kind"] == "section_header"

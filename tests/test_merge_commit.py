@@ -280,3 +280,60 @@ def test_remove_orphan_staging_age_gated(tmp_path):
     os.utime(stale / "part-0.parquet", (old_t, old_t))
     assert io_mod.remove_orphan_staging(str(table), older_than_s=1200) == 1
     assert not stale.exists() and fresh.exists()
+
+
+def test_lock_waiter_keepalive_touches_staging(tmp_path, monkeypatch):
+    """A writer PARKED on the commit lock must keep refreshing its
+    staging dirs' mtimes (ADVICE r04: a waiter queued past the orphan
+    sweep's age gate lost its fully-written staging mid-wait)."""
+    import os
+    import threading
+    import time
+
+    from docling_fast_server_spark.sources import io as io_mod
+
+    commits = str(tmp_path / "t" / "_commits")
+    os.makedirs(commits)
+    staging = tmp_path / "dfss-stage-waiter"
+    staging.mkdir()
+    old_t = time.time() - 10_000
+    os.utime(staging, (old_t, old_t))
+
+    monkeypatch.setattr(io_mod, "_HEARTBEAT_S", 0.05)
+    # hold the lock so the keepalive'd writer has to wait
+    holder = io_mod._commit_lock(commits)
+    holder.__enter__()
+    entered = threading.Event()
+
+    def waiter():
+        with io_mod._commit_lock(commits, keepalive=(str(staging),)):
+            entered.set()
+
+    t = threading.Thread(target=waiter, daemon=True)
+    t.start()
+    time.sleep(0.5)  # parked behind the held lock, heartbeating
+    waiting_mtime = os.path.getmtime(staging)
+    assert time.time() - waiting_mtime < 5, "waiter never refreshed staging"
+    holder.__exit__(None, None, None)
+    assert entered.wait(timeout=10)
+    t.join(timeout=10)
+
+
+def test_remove_orphan_staging_respects_dir_mtime(tmp_path):
+    """The sweep's age gate takes the NEWEST of dir + file mtimes: a
+    keepalive heartbeat only touches the dir, and that alone must keep
+    a live waiter's staging safe even when its files are old."""
+    import os
+    import time
+
+    from docling_fast_server_spark.sources import io as io_mod
+
+    table = tmp_path / "t"
+    table.mkdir()
+    d = tmp_path / "dfss-stage-live-waiter"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"x")
+    old_t = time.time() - 10_000
+    os.utime(d / "part-0.parquet", (old_t, old_t))  # files old, dir fresh
+    assert io_mod.remove_orphan_staging(str(table), older_than_s=1200) == 0
+    assert d.exists()

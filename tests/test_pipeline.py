@@ -156,3 +156,65 @@ def test_run_extraction_empty_input_on_fresh_table(spark, sf_dir, workdir):
     # and a later real run on the same paths proceeds normally
     run_extraction(spark, docs_raw(spark, sf_dir, which="all"), out, lin, run_id="real", partitions=4)
     assert read_table(spark, out).count() > 0
+
+
+# ---------------------------------------------------------------------------
+# commit-scoped lineage read-back + RDD-hop-free split probe (round-4
+# verdict items 4 and 8)
+# ---------------------------------------------------------------------------
+def test_lineage_readback_scans_only_new_commit_files(spark, sf_dir, workdir):
+    """The lineage read-back must scan ONLY the files the new commit
+    added, not the cumulative table (O(run), not O(history))."""
+    import os
+
+    from docling_fast_server_spark.plans.pipeline import _commit_readback
+    from docling_fast_server_spark.sources.io import merge_append_table
+
+    out = os.path.join(workdir, "scoped_out")
+    mk = lambda lo, hi, rid: spark.range(lo, hi).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit(rid).alias("run_id"),
+    )
+    c1 = merge_append_table(mk(0, 50, "r1"), out)
+    c2 = merge_append_table(mk(50, 80, "r2"), out)
+    assert c1 == 50 and c2 == 30
+    assert c1.commit_id and c2.commit_id and c1.commit_id != c2.commit_id
+
+    back = _commit_readback(spark, out, c2, "r2")
+    scanned = {os.path.basename(f) for f in back.inputFiles()}
+    assert scanned == set(c2.files), (scanned, c2.files)
+    assert not scanned & set(c1.files)  # zero historical files touched
+    assert back.count() == 30
+
+    # fully-duplicate replay: empty commit -> empty frame, same schema
+    c3 = merge_append_table(mk(0, 80, "r3"), out)
+    assert c3 == 0 and c3.files == []
+    empty = _commit_readback(spark, out, c3, "r3")
+    assert empty.count() == 0
+    assert empty.columns == back.columns
+
+
+def test_input_splits_probe_tiers(spark, sf_dir, workdir):
+    """_input_splits: explicit repartition/coalesce counts win; file
+    scans get the packing estimate; no .rdd hop for either tier."""
+    import os
+
+    from docling_fast_server_spark.plans.pipeline import _input_splits
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert _input_splits(base.repartition(16)) == 16
+    assert _input_splits(base.repartition(8, "doc_id")) == 8
+    assert _input_splits(base.coalesce(1)) == 1
+    # narrow ops above the repartition must not hide it
+    assert _input_splits(base.repartition(16).select("doc_id")) == 16
+
+    # file tier: N equally-sized files with open cost zeroed -> N splits
+    p = os.path.join(workdir, "splits_probe")
+    spark.range(1000).repartition(6).write.mode("overwrite").parquet(p)
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        n_files = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+        est = _input_splits(spark.read.parquet(p))
+        assert est >= min(n_files, 4)  # split-per-file layout detected
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
