@@ -31,6 +31,8 @@ RAW_PDF_TABLE = "pdf_table"  # table region (JSON prov + cells, media_ref)
 RAW_MARKDOWN = "markdown"  # canonical markdown document payload
 RAW_DOCTAGS = "doctags"  # canonical doctags stream payload
 RAW_JSON = "json_doc"  # canonical (lossless) doc-JSON payload
+RAW_HTML_DOC = "html_doc"  # canonical html-export payload (NOT a web page
+# — those are RAW_HTML and go through the boilerplate-stripping kernel)
 
 # ---------------------------------------------------------------------------
 # kinds: extracted side — the DoclingDocument label set observed in

@@ -31,12 +31,14 @@ from ..model import (
     METHOD_FAILED,
     RAW_DOCTAGS,
     RAW_HTML,
+    RAW_HTML_DOC,
     RAW_JSON,
     RAW_MARKDOWN,
 )
 from .html_extract import extract_html_document
 from .md_ingest import (
     extract_doctags_document,
+    extract_html_export_document,
     extract_json_document,
     extract_markdown_document,
 )
@@ -49,6 +51,7 @@ _DOC_READERS = {
     RAW_MARKDOWN: (extract_markdown_document, "\n\n"),
     RAW_DOCTAGS: (extract_doctags_document, "\n"),
     RAW_JSON: (extract_json_document, None),  # one JSON array per doc
+    RAW_HTML_DOC: (extract_html_export_document, "\n"),
 }
 
 

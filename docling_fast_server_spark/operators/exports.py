@@ -185,13 +185,20 @@ def read_export_spans(spark, path: str, fmt: str):
     tests/test_exports_sink.py) and run the matching serialization
     reader (md_ingest) back to spans. Closes the loop: export store ->
     first-class raw input, with each format's documented lossiness
-    (json is exact)."""
-    from .md_ingest import extract_doctags, extract_json, extract_markdown
+    (json and html are exact; html keeps table media_refs via
+    data-ref)."""
+    from .md_ingest import (
+        extract_doctags,
+        extract_html_export,
+        extract_json,
+        extract_markdown,
+    )
 
     readers = {
         "markdown": extract_markdown,
         "doctags": extract_doctags,
         "json": extract_json,
+        "html": extract_html_export,
     }
     if fmt not in readers:
         raise ValueError(f"no reader for export format {fmt!r} (have {sorted(readers)})")

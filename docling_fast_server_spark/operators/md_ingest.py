@@ -238,3 +238,84 @@ def extract_json(df, json_col: str = "doc_json"):
     MALFORMED document (json.loads("") raises) and degrades to failed,
     while empty markdown/doctags payloads are valid empty documents."""
     return _reader_df(df, extract_json_document, json_col)
+
+
+# ---------------------------------------------------------------------------
+# html-export ingest — the 4th round-trip format (round-4 verdict item 3).
+# This parses the EXPORTER'S canonical HTML shape (exports._render_html:
+# <h2>/<p>/<dl>/<pre><code>/<div class="math">/<table data-ref>/<img>),
+# NOT arbitrary web pages — those go through the boilerplate-stripping
+# html_extract kernel. The reference's converter dispatches HTML as a
+# first-class input format (pdf_processor.py:176-189); with this reader
+# all four partitions of the S9 export store re-enter the pipeline.
+#
+# HTML round-trips TABLE media_refs (the data-ref attribute) that
+# markdown/doctags lose, so it is exact for every kernel-emittable span.
+# Two soundness notes, both consequences of the exporter:
+#   * every `<` in element content is entity-escaped, so a raw `<` only
+#     ever starts a tag — one span per line, parsed with anchored
+#     patterns (span text carries no control characters by the span-text
+#     contract, see exports._json_escape);
+#   * a key_value span whose text contains MORE than one ": " separator
+#     is ambiguous in <dt>/<dd> form (the exporter splits on the
+#     first/last occurrence) — kernel kv text is "word: word", single
+#     separator, exact.
+# ---------------------------------------------------------------------------
+
+_HTML_LINE_RES = [
+    (_re.compile(r"^<h2>(.*)</h2>$"), K_SECTION_HEADER),
+    (_re.compile(r"^<p>(.*)</p>$"), K_TEXT),
+    (_re.compile(r"^<dl><dt>(.*)</dt><dd>(.*)</dd></dl>$"), K_KEY_VALUE),
+    (_re.compile(r"^<pre><code>(.*)</code></pre>$"), K_CODE),
+    (_re.compile(r'^<div class="math">(.*)</div>$'), K_FORMULA),
+    (_re.compile(r'^<table data-ref="(.*)">(.*)</table>$'), K_TABLE),
+    (_re.compile(r'^<img src="(.*)"/>$'), K_PICTURE),
+]
+
+
+def _html_unescape_content(s: str) -> str:
+    # exact inverse of exports._xml_escape (&amp; LAST — inverse order)
+    return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+
+def _html_unescape_attr(s: str) -> str:
+    # exact inverse of exports._attr_escape
+    return s.replace("&quot;", '"').replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+
+def extract_html_export_document(html: str) -> list[dict]:
+    """Canonical HTML export -> ordered spans, exact for every
+    kernel-emittable span INCLUDING table media_refs (data-ref)."""
+    spans: list[dict] = []
+    for line in html.split("\n"):
+        if line == "":
+            continue
+        for rx, kind in _HTML_LINE_RES:
+            m = rx.match(line)
+            if not m:
+                continue
+            if kind == K_KEY_VALUE:
+                text = f"{_html_unescape_content(m.group(1))}: {_html_unescape_content(m.group(2))}"
+                ref = None
+            elif kind == K_TABLE:
+                ref = _html_unescape_attr(m.group(1))
+                text = _html_unescape_content(m.group(2))
+            elif kind == K_PICTURE:
+                text, ref = None, _html_unescape_attr(m.group(1))
+            else:
+                text, ref = _html_unescape_content(m.group(1)), None
+            spans.append(
+                {"kind": kind, "text": text, "media_ref": ref, "offset": len(spans)}
+            )
+            break
+        else:
+            raise ValueError(f"malformed canonical-html line: {line[:80]!r}")
+    if len(spans) > MAX_SPANS_PER_DOC:
+        raise ValueError(f"document exceeds span ceiling ({len(spans)} spans)")
+    return spans
+
+
+def extract_html_export(df, html_col: str = "html"):
+    """DataFrame(doc_id, <html_col>) -> extracted spans. Narrow map
+    stage — the canonical-HTML serialization reader."""
+    return _reader_df(df, extract_html_export_document, html_col)

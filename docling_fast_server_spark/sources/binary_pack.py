@@ -44,6 +44,7 @@ from ..model import (
     METHOD_FAILED,
     RAW_DOCTAGS,
     RAW_HTML,
+    RAW_HTML_DOC,
     RAW_JSON,
     RAW_MARKDOWN,
     RAW_PDF_CELL,
@@ -55,7 +56,7 @@ MAGIC = b"DFSB"
 VERSION = 1
 _NULL = 0xFFFFFFFF
 
-# codes 4-6: the serialization-reader formats (additive — payloads packed
+# codes 4-7: the serialization-reader formats (additive — payloads packed
 # by older writers parse unchanged; an old READER meeting a new code
 # correctly fails the doc as an unknown kind, degrade-never-die)
 _KIND_CODE = {
@@ -66,6 +67,7 @@ _KIND_CODE = {
     RAW_MARKDOWN: 4,
     RAW_DOCTAGS: 5,
     RAW_JSON: 6,
+    RAW_HTML_DOC: 7,
 }
 _CODE_KIND = {v: k for k, v in _KIND_CODE.items()}
 

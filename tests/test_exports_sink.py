@@ -84,5 +84,7 @@ def test_read_export_spans_rehydrates(spark, sf_dir, tmp_path):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert back.filter("conversion_method != 'default'").count() == 0
+    # every export format has a reader now (html landed round 5);
+    # only a genuinely unknown format raises
     with pytest.raises(ValueError, match="no reader"):
-        read_export_spans(spark, out, "html")
+        read_export_spans(spark, out, "protobuf")

@@ -279,3 +279,98 @@ def test_markdown_grammar_collisions_are_the_documented_lossiness():
     # marker-prefixed text span re-ingests as the marker's kind
     spans = extract_markdown_document("## not a real heading")
     assert spans[0]["kind"] == "section_header"
+
+
+# ---------------------------------------------------------------------------
+# html-export reader: the 4th round-trip format (round-4 verdict item 3).
+# EXACT — unlike markdown/doctags, html keeps table media_refs (data-ref).
+# ---------------------------------------------------------------------------
+def test_html_export_spark_roundtrip_exact(spark, sf_dir):
+    from docling_fast_server_spark.operators.md_ingest import extract_html_export
+
+    extracted = extract_auto(docs_raw(spark, sf_dir, which="all"))
+    html = with_exports(extracted).select("doc_id", "html")
+    back = extract_html_export(html)
+
+    def flat(df):
+        return df.select("doc_id", F.explode("spans").alias("s")).select(
+            "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+        )
+
+    a, b = flat(extracted), flat(back)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0  # exact: table refs included
+    assert back.filter("conversion_method != 'default'").count() == 0
+
+
+def test_html_export_reader_edges():
+    from docling_fast_server_spark.operators.md_ingest import (
+        extract_html_export_document,
+    )
+
+    assert extract_html_export_document("") == []
+    spans = extract_html_export_document(
+        '<h2>A &amp;&lt;B</h2>\n<table data-ref="m?a=1&amp;b=&quot;2&quot;">c1 | c2</table>'
+    )
+    assert spans[0] == {
+        "kind": "section_header", "text": "A &<B", "media_ref": None, "offset": 0,
+    }
+    assert spans[1]["media_ref"] == 'm?a=1&b="2"'
+    import pytest
+
+    with pytest.raises(ValueError, match="malformed canonical-html"):
+        extract_html_export_document("<h3>not canonical</h3>")
+
+
+def test_read_export_spans_html(spark, sf_dir, tmp_path):
+    """read_export_spans over the html partition re-hydrates documents
+    exactly — all four partitions of the export store now re-enter."""
+    from docling_fast_server_spark.operators.exports import (
+        read_export_spans,
+        write_exports_partitioned,
+    )
+
+    extracted = extract_auto(docs_raw(spark, sf_dir, which="all")).limit(20)
+    store = str(tmp_path / "exports")
+    write_exports_partitioned(extracted, store)
+    back = read_export_spans(spark, store, "html")
+
+    def flat(df):
+        return df.select("doc_id", F.explode("spans").alias("s")).select(
+            "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+        )
+
+    a, b = flat(extracted), flat(back)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_dispatch_routes_html_doc(spark, sf_dir):
+    """Raw kind html_doc routes through extract_auto and the DFSB
+    container like the other serialization formats — exact recovery."""
+    from docling_fast_server_spark.sources.binary_pack import extract_binary, pack_raw
+
+    extracted = extract_auto(docs_raw(spark, sf_dir, which="all")).limit(25)
+    raw_again = with_exports(extracted).select(
+        "doc_id",
+        F.array(
+            F.struct(
+                F.lit("html_doc").alias("kind"),
+                F.col("html").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+
+    def flat(df):
+        return df.select("doc_id", F.explode("spans").alias("s")).select(
+            "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+        )
+
+    want = flat(extracted)
+    for back in (extract_auto(raw_again), extract_binary(pack_raw(raw_again))):
+        assert back.filter("conversion_method != 'default'").count() == 0
+        got = flat(back)
+        assert want.exceptAll(got).count() == 0
+        assert got.exceptAll(want).count() == 0
