@@ -363,7 +363,12 @@ def chunk_spans(
     twice — for kernel-fed input use route='hof' instead, which is sound
     because the kernels enforce model.MAX_SPANS_PER_DOC at the
     extraction boundary (a doc beyond it degrades to `failed` with no
-    spans).
+    spans). When auto-routing WOULD double-evaluate an expensive Python
+    kernel stage (a MapInArrow/MapInPandas in the un-persisted child
+    plan), a RuntimeWarning makes the footgun visible (round-4 verdict
+    item 7) — the fix is route='hof' or persisting the input, both the
+    caller's call; silently caching a corpus-sized frame here would be
+    the worse surprise at scale.
 
     route='hof' / route='window' force one formulation."""
     from ..model import MAX_SPANS_PER_DOC
@@ -375,6 +380,20 @@ def chunk_spans(
         return _chunk_spans_window(df, budget, spans_col, tokenizer)
     if route != "auto":
         raise ValueError(f"unknown route {route!r}")
+    if not df.is_cached:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if any(k in plan for k in ("MapInArrow", "MapInPandas", "EvalPython")):
+            import warnings
+
+            warnings.warn(
+                "chunk_spans(route='auto') filters its input twice, and this "
+                "input contains a non-materialized Python kernel stage that "
+                "will therefore EXECUTE twice. Kernel-fed input should use "
+                "route='hof' (sound: kernels enforce MAX_SPANS_PER_DOC at the "
+                "extraction boundary) or persist the input first.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     n = F.coalesce(F.size(F.col(spans_col)), F.lit(0))
     small = df.filter(n <= ceiling)
     big = df.filter(n > ceiling)

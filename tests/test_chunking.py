@@ -339,3 +339,29 @@ def test_extraction_boundary_enforces_span_ceiling():
     prov = json.dumps({"p": 1, "l": 72.0, "t": 700.0, "r": 292.0, "b": 684.0, "fs": 11.0, "text": "w"})
     with pytest.raises(ValueError, match="span ceiling"):
         extract_pdf_cells_flat(["pdf_cell"] * m, [prov] * m, [None] * m, 0, m)
+
+
+def test_auto_route_warns_on_unmaterialized_kernel_input(spark, sf_dir):
+    """route='auto' over a fused (non-persisted) extraction plan pays
+    double extraction — the guard must surface it; route='hof', a
+    persisted input, and plain stored tables must stay silent."""
+    import warnings
+
+    import pytest
+
+    from docling_fast_server_spark.corpus import docs_raw
+    from docling_fast_server_spark.operators.chunking import chunk_spans
+    from docling_fast_server_spark.operators.dispatch import extract_auto
+
+    fused = extract_auto(docs_raw(spark, sf_dir, which="html").limit(5))
+    with pytest.warns(RuntimeWarning, match="EXECUTE twice"):
+        chunk_spans(fused, route="auto")
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any warning -> failure
+        chunk_spans(fused, route="hof")  # forced route: no double eval
+        cached = fused.persist()
+        try:
+            chunk_spans(cached, route="auto")  # materialized: safe
+        finally:
+            cached.unpersist()
