@@ -45,6 +45,7 @@ Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling ladder,
 SPARK_GRAFT_BENCH_REPLICATE (default 32), SPARK_GRAFT_BENCH_REPS (default 3),
 SPARK_GRAFT_BENCH_NEIGHBOR_GATE (cores, default 3.0),
+SPARK_GRAFT_BENCH_RUNG_GATE (cores, default 1.0 — scaling rungs only),
 SPARK_GRAFT_BENCH_EXTRA_REPS (default 2),
 SPARK_GRAFT_BENCH_QUIET_WAIT_S (default 45).
 """
@@ -104,6 +105,11 @@ DEFAULT_MAX_PART = "134217728"
 # ---------------------------------------------------------------------------
 _CLK = os.sysconf("SC_CLK_TCK")
 NEIGHBOR_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_NEIGHBOR_GATE", "3.0"))
+# scaling rungs feed efficiency RATIOS where even ~1-2 neighbor cores on
+# one rung skews two pairs (r4: the 32-rung ran at 1.96 cores, UNDER the
+# 3.0 gate, so its retry never fired and weak 8->32 read 0.632) — gate
+# the ladder tighter than single queries
+RUNG_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_RUNG_GATE", "1.0"))
 EXTRA_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2"))
 QUIET_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "45"))
 
@@ -323,6 +329,7 @@ def _time_extraction(cores: int, raw_path: str) -> tuple[float, int, float]:
         best, nb, _att, _io = _best_of(
             lambda: extract_auto(raw).write.format("noop").mode("overwrite").save(),
             SCALE_REPS,
+            gate=RUNG_GATE,
         )
         n = extract_auto(raw).count()
         assert n == n_docs, f"extraction dropped rows: {n} != {n_docs}"
@@ -395,6 +402,41 @@ def main() -> None:
                 spark._jvm.System.gc()
             except Exception:
                 pass
+        # end-of-pass quiet retry (round-4 verdict item 2): a query whose
+        # BEST rep was still contended past the gate gets one more shot
+        # after the 4x quiet horizon — by the end of the headline pass a
+        # neighbor burst that covered its original rep window has had
+        # minutes to die down. Two base reps, not one: clear_caches()
+        # above means rep 1 rebuilds the persisted intermediates cold;
+        # rep 2 is the warm steady-state number every round's best-of-N
+        # measures. The retry only ever LOWERS a number (best-of), and
+        # its own neighbor signal is recorded either way.
+        for name in HEADLINE:
+            if qmeta[name]["neighbor_cores"] <= NEIGHBOR_GATE:
+                continue
+            _wait_quiet(max_wait=4 * QUIET_WAIT_S)
+            if name in TPCH_QUERIES:
+                _default_splits(spark)
+                qdir = SF_DIR
+            else:
+                _one_split_per_file(spark, *spread_data_dirs)
+                qdir = spread_dir
+
+            def _rerun(q=name, d=qdir):
+                qs[q](spark, d).write.format("noop").mode("overwrite").save()
+
+            best, nb, att, io = _best_of(_rerun, 2, extra=1)
+            qmeta[name]["retry_neighbor_cores"] = nb
+            qmeta[name]["attempts"] += att
+            if best < qtimes[name]:
+                qtimes[name] = round(best, 3)
+                qmeta[name].update({"neighbor_cores": nb, "iowait_cores": io})
+            dedup.clear_caches()
+            spark.catalog.clearCache()
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
     finally:
         spark.stop()
 
@@ -407,7 +449,7 @@ def main() -> None:
     # starts, plus the neighbor load DURING each rung's best rep recorded
     # in the JSON — an efficiency ratio where one rung raced a neighbor
     # burst is detectable instead of silently owning two pairs.
-    q0 = _wait_quiet()
+    q0 = _wait_quiet(gate=RUNG_GATE)
     t_hi, n_docs, nb_hi = _time_extraction(CPUS, raw_path)
     thr_hi = n_docs / t_hi
     scaling = {}
@@ -417,7 +459,7 @@ def main() -> None:
         ladder = {CPUS: thr_hi}
         for c in (16, 8, 4):
             if c < CPUS:
-                qn = _wait_quiet()
+                qn = _wait_quiet(gate=RUNG_GATE)
                 t_c, _, nb_c = _time_extraction(c, raw_path)
                 ladder[c] = n_docs / t_c
                 nbs[c] = max(qn, nb_c)
@@ -433,7 +475,7 @@ def main() -> None:
                 parts_c = max(CPUS * 4 * rep_c // REPLICATE, c * 2)
                 raw_c = os.path.join(SCRATCH, f"raw_{CORPUS_TAG}_{sf_name}_x{rep_c}_p{parts_c}")
                 _materialize_raw(raw_c, rep_c, partitions=parts_c)
-                qn = _wait_quiet()
+                qn = _wait_quiet(gate=RUNG_GATE)
                 t_c, n_c, nb_c = _time_extraction(c, raw_c)
                 weak_ladder[c] = {"thr": n_c / t_c, "n_docs": n_c}
                 weak_nbs[c] = max(qn, nb_c)
@@ -442,8 +484,8 @@ def main() -> None:
         # contended past the gate, give it one more attempt at the END
         # of the ladder with a longer quiet horizon — a neighbor burst
         # that outlasted the first wait has had several minutes to pass.
-        if nbs[CPUS] > NEIGHBOR_GATE:
-            _wait_quiet(max_wait=4 * QUIET_WAIT_S)
+        if nbs[CPUS] > RUNG_GATE:
+            _wait_quiet(max_wait=4 * QUIET_WAIT_S, gate=RUNG_GATE)
             t_r, _, nb_r = _time_extraction(CPUS, raw_path)
             if n_docs / t_r > thr_hi:
                 t_hi, thr_hi, nb_hi = t_r, n_docs / t_r, nb_r
