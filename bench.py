@@ -43,9 +43,11 @@ persisted blocks (dedup's hash-set reuse) never skew another's memory.
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 SPARK_GRAFT_BENCH_SCALING=0 to skip the scaling ladder,
+SPARK_GRAFT_BENCH_HEADLINE=0 to skip the per-query pass (ladder only),
 SPARK_GRAFT_BENCH_REPLICATE (default 32), SPARK_GRAFT_BENCH_REPS (default 3),
 SPARK_GRAFT_BENCH_NEIGHBOR_GATE (cores, default 3.0),
 SPARK_GRAFT_BENCH_RUNG_GATE (cores, default 1.0 — scaling rungs only),
+SPARK_GRAFT_BENCH_LADDER_PASSES (default 2 — per-rung best across passes),
 SPARK_GRAFT_BENCH_EXTRA_REPS (default 2),
 SPARK_GRAFT_BENCH_QUIET_WAIT_S (default 45).
 """
@@ -65,6 +67,7 @@ from docling_fast_server_spark.operators import dedup  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALING = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
+HEADLINE_RUN = os.environ.get("SPARK_GRAFT_BENCH_HEADLINE", "1") == "1"
 REPLICATE = int(os.environ.get("SPARK_GRAFT_BENCH_REPLICATE", "32"))
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 SCALE_REPS = REPS + 2  # scaling rungs feed an efficiency RATIO, where a
@@ -88,6 +91,10 @@ HEADLINE = [
 # queries that scan documents/embeddings -> run on the spread layout;
 # the TPC-H pair keeps the original tables + default scan settings
 TPCH_QUERIES = {"pricing_summary", "region_revenue"}
+if not HEADLINE_RUN:
+    # scaling-diagnostics mode (SPARK_GRAFT_BENCH_HEADLINE=0): skip the
+    # per-query pass entirely and run only the extraction ladder
+    HEADLINE = []
 
 SPREAD_TABLES = (("documents", "doc_id"), ("embeddings", "vec_id"))
 LINK_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events")
@@ -110,6 +117,11 @@ NEIGHBOR_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_NEIGHBOR_GATE", "3.0"))
 # 3.0 gate, so its retry never fired and weak 8->32 read 0.632) — gate
 # the ladder tighter than single queries
 RUNG_GATE = float(os.environ.get("SPARK_GRAFT_BENCH_RUNG_GATE", "1.0"))
+# full-ladder passes; each rung keeps its best across passes (see the
+# scaling comment in main() — hypervisor-level bandwidth interference is
+# invisible to every in-VM meter, so temporally-separated windows are
+# the only defense)
+LADDER_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_LADDER_PASSES", "2"))
 EXTRA_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2"))
 QUIET_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "45"))
 
@@ -295,11 +307,14 @@ def _materialize_raw(raw_path: str, replicate: int, partitions: int | None = Non
         spark.stop()
 
 
-def _time_extraction(cores: int, raw_path: str) -> tuple[float, int, float]:
+def _time_extraction(cores: int, raw_path: str) -> tuple[float, int, float, float]:
     """Steady-state extraction time at `cores`: spawn the full Python
     worker fleet first, then neighbor-gated best-of-SCALE_REPS full runs
     (noop sink — the timing measures scan + kernel, not local-disk write
-    bandwidth). Returns (best_sec, n_docs, neighbor_cores_at_best)."""
+    bandwidth). Returns (best_sec, n_docs, neighbor_cores_at_best,
+    iowait_cores_at_best) — iowait is the stall signal the CPU meter
+    cannot see (an IO-bound neighbor or cache thrash shows ~0 busy
+    cores while stretching our wall clock)."""
     from pyspark.sql import types as T
 
     from docling_fast_server_spark.operators.dispatch import extract_auto
@@ -326,14 +341,14 @@ def _time_extraction(cores: int, raw_path: str) -> tuple[float, int, float]:
         # against identical cache state regardless of run order
         extract_auto(raw).write.format("noop").mode("overwrite").save()
 
-        best, nb, _att, _io = _best_of(
+        best, nb, _att, io = _best_of(
             lambda: extract_auto(raw).write.format("noop").mode("overwrite").save(),
             SCALE_REPS,
             gate=RUNG_GATE,
         )
         n = extract_auto(raw).count()
         assert n == n_docs, f"extraction dropped rows: {n} != {n_docs}"
-        return best, n_docs, nb
+        return best, n_docs, nb, io
     finally:
         spark.stop()
         time.sleep(2)  # let the previous JVM/worker fleet fully exit so
@@ -444,27 +459,33 @@ def main() -> None:
     # strong = fixed corpus across core counts; weak = corpus replicate
     # proportional to cores (constant work per core).
     # rungs 4/8/16/32 give TWO independent N->4N pairs (4->16, 8->32).
-    # Every rung is NEIGHBOR-GATED: a bounded wait for the self-excluding
-    # /proc neighbor signal to fall below NEIGHBOR_GATE before the rung
-    # starts, plus the neighbor load DURING each rung's best rep recorded
-    # in the JSON — an efficiency ratio where one rung raced a neighbor
-    # burst is detectable instead of silently owning two pairs.
+    # Every rung is NEIGHBOR-GATED (bounded wait below RUNG_GATE before
+    # it starts; neighbor + iowait during its best rep recorded), and
+    # the WHOLE ladder runs LADDER_PASSES times with each rung keeping
+    # its best throughput across passes. Rationale (measured, round 5):
+    # back-to-back quiet ladders — neighbor meter AND iowait both ~0 —
+    # still swing individual rungs by up to 20%, because other VMs on
+    # the physical host steal memory bandwidth and last-level cache
+    # invisibly to anything /proc inside this VM can report. Such
+    # bursts last minutes, so best-of within ONE rung window cannot
+    # escape them; a second full pass minutes later gives every rung an
+    # independent window, and per-rung best-of-passes measures each
+    # rung's quiet CAPABILITY — the honest input to an efficiency
+    # ratio. (An in-pass A/B interleave would pay a ~30 s session
+    # restart per sample for the same effect.)
     q0 = _wait_quiet(gate=RUNG_GATE)
-    t_hi, n_docs, nb_hi = _time_extraction(CPUS, raw_path)
+    t_hi, n_docs, nb_hi, io_hi = _time_extraction(CPUS, raw_path)
     thr_hi = n_docs / t_hi
     scaling = {}
     if SCALING:
         pairs_spec = ((4, 16), (8, 32))
         nbs = {CPUS: max(q0, nb_hi)}
+        ios = {CPUS: io_hi}
+        weak_ios = {CPUS: io_hi}
         ladder = {CPUS: thr_hi}
-        for c in (16, 8, 4):
-            if c < CPUS:
-                qn = _wait_quiet(gate=RUNG_GATE)
-                t_c, _, nb_c = _time_extraction(c, raw_path)
-                ladder[c] = n_docs / t_c
-                nbs[c] = max(qn, nb_c)
         weak_ladder = {CPUS: {"thr": thr_hi, "n_docs": n_docs}}
         weak_nbs = {CPUS: max(q0, nb_hi)}
+        weak_corpora = {}
         for c in (16, 8, 4):
             if c < CPUS:
                 rep_c = max(REPLICATE * c // CPUS, 1)
@@ -475,24 +496,40 @@ def main() -> None:
                 parts_c = max(CPUS * 4 * rep_c // REPLICATE, c * 2)
                 raw_c = os.path.join(SCRATCH, f"raw_{CORPUS_TAG}_{sf_name}_x{rep_c}_p{parts_c}")
                 _materialize_raw(raw_c, rep_c, partitions=parts_c)
-                qn = _wait_quiet(gate=RUNG_GATE)
-                t_c, n_c, nb_c = _time_extraction(c, raw_c)
-                weak_ladder[c] = {"thr": n_c / t_c, "n_docs": n_c}
-                weak_nbs[c] = max(qn, nb_c)
-        # the CPUS rung anchors BOTH ladders and is the most
-        # load-sensitive (it needs every core). If its best rep was
-        # contended past the gate, give it one more attempt at the END
-        # of the ladder with a longer quiet horizon — a neighbor burst
-        # that outlasted the first wait has had several minutes to pass.
-        if nbs[CPUS] > RUNG_GATE:
-            _wait_quiet(max_wait=4 * QUIET_WAIT_S, gate=RUNG_GATE)
-            t_r, _, nb_r = _time_extraction(CPUS, raw_path)
-            if n_docs / t_r > thr_hi:
-                t_hi, thr_hi, nb_hi = t_r, n_docs / t_r, nb_r
-                ladder[CPUS] = thr_hi
-                weak_ladder[CPUS] = {"thr": thr_hi, "n_docs": n_docs}
-                nbs[CPUS] = weak_nbs[CPUS] = nb_r
-        # pairs computed ONCE, after any top-rung retry settled the ladder
+                weak_corpora[c] = raw_c
+        for pass_i in range(LADDER_PASSES):
+            for c in (16, 8, 4):
+                if c < CPUS:
+                    qn = _wait_quiet(gate=RUNG_GATE)
+                    t_c, _, nb_c, io_c = _time_extraction(c, raw_path)
+                    if n_docs / t_c > ladder.get(c, 0.0):
+                        ladder[c] = n_docs / t_c
+                        nbs[c] = max(qn, nb_c)
+                        ios[c] = io_c
+            for c in (16, 8, 4):
+                if c < CPUS:
+                    qn = _wait_quiet(gate=RUNG_GATE)
+                    t_c, n_c, nb_c, io_c = _time_extraction(c, weak_corpora[c])
+                    if c not in weak_ladder or n_c / t_c > weak_ladder[c]["thr"]:
+                        weak_ladder[c] = {"thr": n_c / t_c, "n_docs": n_c}
+                        weak_nbs[c] = max(qn, nb_c)
+                        weak_ios[c] = io_c
+            # the CPUS rung anchors BOTH ladders: give it one fresh
+            # window per extra pass too (plus the 4x-horizon retry when
+            # its best rep was contended past the gate)
+            if pass_i + 1 < LADDER_PASSES or nbs[CPUS] > RUNG_GATE:
+                _wait_quiet(
+                    max_wait=4 * QUIET_WAIT_S if nbs[CPUS] > RUNG_GATE else QUIET_WAIT_S,
+                    gate=RUNG_GATE,
+                )
+                t_r, _, nb_r, io_r = _time_extraction(CPUS, raw_path)
+                if n_docs / t_r > thr_hi:
+                    t_hi, thr_hi, nb_hi = t_r, n_docs / t_r, nb_r
+                    ladder[CPUS] = thr_hi
+                    weak_ladder[CPUS] = {"thr": thr_hi, "n_docs": n_docs}
+                    nbs[CPUS] = weak_nbs[CPUS] = nb_r
+                    ios[CPUS] = weak_ios[CPUS] = io_r
+        # pairs computed ONCE, after every pass settled the ladder
         strong_pairs = {}
         for lo, hi in pairs_spec:
             if lo in ladder and hi in ladder:
@@ -512,6 +549,7 @@ def main() -> None:
             "throughput_by_cores": {str(c): round(t, 2) for c, t in sorted(ladder.items())},
             "pairs": strong_pairs,
             "neighbor_cores_by_rung": {str(c): v for c, v in sorted(nbs.items())},
+            "iowait_cores_by_rung": {str(c): v for c, v in sorted(ios.items())},
             "weak": {
                 "throughput_by_cores": {
                     str(c): round(v["thr"], 2) for c, v in sorted(weak_ladder.items())
@@ -521,10 +559,13 @@ def main() -> None:
                 },
                 "pairs": weak_pairs,
                 "neighbor_cores_by_rung": {str(c): v for c, v in sorted(weak_nbs.items())},
+                "iowait_cores_by_rung": {str(c): v for c, v in sorted(weak_ios.items())},
             },
             "n_docs": n_docs,
             "replicate": REPLICATE,
             "neighbor_gate": NEIGHBOR_GATE,
+            "rung_gate": RUNG_GATE,
+            "ladder_passes": LADDER_PASSES,
             "loadavg_before_bench": loadavg_before_bench,
         }
 
