@@ -128,6 +128,11 @@ LADDER_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_LADDER_PASSES", "2"))
 # more temporally-separated windows, up to MAX_LADDER_PASSES total
 MAX_LADDER_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_LADDER_PASSES", "4"))
 PAIR_EFF_FLOOR = float(os.environ.get("SPARK_GRAFT_BENCH_PAIR_EFF_FLOOR", "0.9"))
+# overall wall-clock budget: ADAPTIVE extra passes (and nothing else)
+# stop opening once the bench has run this long — a driver-side harness
+# timeout killing the process entirely would lose the whole JSON line
+BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "2700"))
+_T_START = time.time()
 EXTRA_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2"))
 QUIET_WAIT_S = float(os.environ.get("SPARK_GRAFT_BENCH_QUIET_WAIT_S", "45"))
 
@@ -520,7 +525,9 @@ def main() -> None:
 
         pass_i = 0
         while pass_i < LADDER_PASSES or (
-            pass_i < MAX_LADDER_PASSES and _criterion_eff() < PAIR_EFF_FLOOR
+            pass_i < MAX_LADDER_PASSES
+            and _criterion_eff() < PAIR_EFF_FLOOR
+            and time.time() - _T_START < BUDGET_S
         ):
             if pass_i >= LADDER_PASSES:
                 time.sleep(60)  # decorrelate: the scheduled passes all
