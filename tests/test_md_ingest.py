@@ -374,3 +374,38 @@ def test_dispatch_routes_html_doc(spark, sf_dir):
         got = flat(back)
         assert want.exceptAll(got).count() == 0
         assert got.exceptAll(want).count() == 0
+
+
+def test_serialization_fixpoint_all_formats(spark, sf_dir):
+    """Export -> re-ingest -> re-export is the IDENTITY on serialized
+    bytes for every format (markdown/doctags/json/html): the readers and
+    writers are exact mutual inverses on canonical output, so a document
+    can cycle through the export store any number of times without
+    drift. (Markdown's table-ref loss happens on the FIRST export — the
+    serialized string itself is already stable from then on.)"""
+    from docling_fast_server_spark.operators.md_ingest import (
+        extract_doctags,
+        extract_html_export,
+        extract_json,
+        extract_markdown,
+    )
+
+    extracted = extract_auto(docs_raw(spark, sf_dir, which="all")).limit(30)
+    exp1 = with_exports(extracted)
+    readers = {
+        "markdown": extract_markdown,
+        "doctags": extract_doctags,
+        "doc_json": extract_json,
+        "html": extract_html_export,
+    }
+    for col, reader in readers.items():
+        back = reader(exp1.select("doc_id", col))
+        assert back.filter("conversion_method != 'default'").count() == 0, col
+        exp2 = with_exports(back).select("doc_id", F.col(col).alias("again"))
+        diff = (
+            exp1.select("doc_id", col)
+            .join(exp2, "doc_id")
+            .filter(F.col(col) != F.col("again"))
+            .count()
+        )
+        assert diff == 0, f"{col}: serialization not a fixpoint"

@@ -218,3 +218,32 @@ def test_input_splits_probe_tiers(spark, sf_dir, workdir):
         assert est >= min(n_files, 4)  # split-per-file layout detected
     finally:
         spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+
+
+def test_input_splits_estimate_matches_spark(spark, sf_dir, workdir):
+    """The file-tier split estimate reimplements Spark's own packing
+    (maxSplitBytes + open-cost bin-pack); hold it to the real thing:
+    the estimate must equal df.rdd.getNumPartitions() for file scans
+    across layouts and scan settings."""
+    import os
+
+    from docling_fast_server_spark.plans.pipeline import _input_splits
+
+    layouts = []
+    for n_files, n_rows in ((1, 2000), (6, 5000), (24, 2000)):
+        p = os.path.join(workdir, f"probe_{n_files}")
+        spark.range(n_rows).withColumn("pad", F.sha2(F.col("id").cast("string"), 256)) \
+            .repartition(n_files).write.mode("overwrite").parquet(p)
+        layouts.append(p)
+    settings = [("0", str(4 * 1024)), ("0", "134217728"), ("4194304", "134217728")]
+    try:
+        for oc, mp in settings:
+            spark.conf.set("spark.sql.files.openCostInBytes", oc)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", mp)
+            for p in layouts:
+                df = spark.read.parquet(p)
+                est, actual = _input_splits(df), df.rdd.getNumPartitions()
+                assert est == actual, (p, oc, mp, est, actual)
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
