@@ -305,3 +305,64 @@ def test_poly_hash_unicode_safe_and_cross_engine(spark):
         ).fetchone()
         assert got[t] == tuple(want), (t, got[t], want)
     con.close()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    filters=st.lists(st.integers(min_value=0, max_value=4), min_size=12, max_size=12),
+    level=st.sampled_from([0, 1, 6, 9]),
+)
+def test_png_decoder_roundtrip_any_image(w, h, seed, filters, level):
+    """Property: for ANY pixel grid, ANY per-row filter assignment
+    (all five public types), and ANY deflate level, a spec-conformant
+    PNG encodes such that _decode_png recovers exact dims and the exact
+    decoded pixel sum. The production encoder only emits filters 0-2 at
+    level 0 — this pins the decoder's full generality."""
+    import struct
+    import zlib
+
+    from docling_fast_server_spark.operators.multimodal import _decode_png
+
+    rng = random.Random(seed)
+    stride = 3 * w
+    pix = [bytes(rng.randrange(256) for _ in range(stride)) for _ in range(h)]
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, row in enumerate(pix):
+        ft = filters[r]
+        raw.append(ft)
+        for i in range(stride):
+            a = row[i - 3] if i >= 3 else 0
+            up = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (a + up) // 2
+            else:
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+            raw.append((row[i] - pred) & 0xFF)
+        prev = row
+    f = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw), level))
+        + chunk(b"IEND", b"")
+    )
+    assert _decode_png(f) == (w, h, sum(sum(r) for r in pix))
