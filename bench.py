@@ -128,6 +128,9 @@ LADDER_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_LADDER_PASSES", "2"))
 # more temporally-separated windows, up to MAX_LADDER_PASSES total
 MAX_LADDER_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_LADDER_PASSES", "4"))
 PAIR_EFF_FLOOR = float(os.environ.get("SPARK_GRAFT_BENCH_PAIR_EFF_FLOOR", "0.9"))
+# headline passes: the per-query loop runs this many times with each
+# query keeping its best (cheap — the corpus is warm after pass 1)
+HEADLINE_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_HEADLINE_PASSES", "2"))
 # overall wall-clock budget: ADAPTIVE extra passes (and nothing else)
 # stop opening once the bench has run this long — a driver-side harness
 # timeout killing the process entirely would lose the whole JSON line
@@ -395,39 +398,55 @@ def main() -> None:
     try:
         # session warm-up (worker spawn amortized outside per-query timing)
         qs["status_histogram"](spark, SF_DIR).collect()
-        # best of REPS per query: a transient host stall (shared sandbox
-        # CPUs) otherwise lands in exactly one query's number and skews
-        # the whole headline total
-        for name in HEADLINE:
-            if name in TPCH_QUERIES:
-                _default_splits(spark)
-                qdir = SF_DIR
-            else:
-                _one_split_per_file(spark, *spread_data_dirs)
-                qdir = spread_dir
-            def _run(q=name, d=qdir):
-                qs[q](spark, d).write.format("noop").mode("overwrite").save()
+        # best of REPS per query, over HEADLINE_PASSES temporally-
+        # separated passes (same defense as the ladder's multi-pass: a
+        # host-bandwidth depression is invisible to the neighbor/iowait
+        # meters and can cover one whole pass — observed: dedup_minhash
+        # 2.15 s with neighbor = 0.1 cores vs 1.31-1.61 s capability; a
+        # transient CPU stall likewise otherwise lands in exactly one
+        # query's number and skews the whole headline total). Later
+        # passes use 2 reps: the cache cleared below means rep 1
+        # rebuilds the persisted intermediates cold, rep 2 is the warm
+        # steady-state number every round's best-of-N measures.
+        for hp in range(HEADLINE_PASSES):
+            for name in HEADLINE:
+                if name in TPCH_QUERIES:
+                    _default_splits(spark)
+                    qdir = SF_DIR
+                else:
+                    _one_split_per_file(spark, *spread_data_dirs)
+                    qdir = spread_dir
+                def _run(q=name, d=qdir):
+                    qs[q](spark, d).write.format("noop").mode("overwrite").save()
 
-            best, nb, att, io = _best_of(_run, REPS)
-            qtimes[name] = round(best, 3)
-            qmeta[name] = {"neighbor_cores": nb, "attempts": att, "iowait_cores": io}
-            # release caches AFTER the rep loop, untimed: reps 2+ of the
-            # same query reuse the persisted hash-set exactly as a warm
-            # long-lived cluster would (and as every prior round's
-            # best-of-N measured); clearing here just keeps one query's
-            # blocks out of the NEXT query's memory
-            dedup.clear_caches()
-            spark.catalog.clearCache()
-            # heap hygiene between queries (untimed): the dedup/sim
-            # stages leave the JVM old-gen full of freed cache/broadcast
-            # tenured garbage; without a collection hint the NEXT query
-            # can inherit a full-GC storm (observed: pricing_summary
-            # 11.7s in-session vs 0.54s in a fresh session, zero
-            # neighbor load)
-            try:
-                spark._jvm.System.gc()
-            except Exception:
-                pass
+                best, nb, att, io = _best_of(_run, REPS if hp == 0 else 2)
+                if name not in qtimes or best < qtimes[name]:
+                    qtimes[name] = round(best, 3)
+                    prev_att = qmeta.get(name, {}).get("attempts", 0)
+                    qmeta[name] = {
+                        "neighbor_cores": nb,
+                        "attempts": prev_att + att,
+                        "iowait_cores": io,
+                    }
+                else:
+                    qmeta[name]["attempts"] += att
+                # release caches AFTER the rep loop, untimed: reps 2+ of
+                # the same query reuse the persisted hash-set exactly as
+                # a warm long-lived cluster would (and as every prior
+                # round's best-of-N measured); clearing here just keeps
+                # one query's blocks out of the NEXT query's memory
+                dedup.clear_caches()
+                spark.catalog.clearCache()
+                # heap hygiene between queries (untimed): the dedup/sim
+                # stages leave the JVM old-gen full of freed
+                # cache/broadcast tenured garbage; without a collection
+                # hint the NEXT query can inherit a full-GC storm
+                # (observed: pricing_summary 11.7s in-session vs 0.54s
+                # in a fresh session, zero neighbor load)
+                try:
+                    spark._jvm.System.gc()
+                except Exception:
+                    pass
         # end-of-pass quiet retry (round-4 verdict item 2): a query whose
         # BEST rep was still contended past the gate gets one more shot
         # after the 4x quiet horizon — by the end of the headline pass a
