@@ -215,7 +215,9 @@ def _best_of(fn, reps: int, gate: float = NEIGHBOR_GATE, extra: int = EXTRA_REPS
         if i >= reps:
             if best_nb <= gate:
                 break
-            _wait_quiet()
+            _wait_quiet(gate=gate)  # the CALLER'S gate: a rung retry
+            # (gate=RUNG_GATE) must not start at 2.9 neighbor-cores just
+            # because the default headline gate would tolerate it
         h0, s0, w0, t0 = (
             _host_busy_jiffies(),
             _tree_jiffies(),

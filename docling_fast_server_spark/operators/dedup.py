@@ -108,10 +108,25 @@ import threading as _threading
 import weakref as _weakref
 
 _CACHES_LOCK = _threading.Lock()
-# session -> list of persisted frames; weak keys so a stopped/dropped
-# session cannot pin its DataFrames (and the registry cannot grow
-# unboundedly across session lifetimes)
+# session -> list of persisted frames. NOTE the registered DataFrames
+# strongly reference their session, so weak KEYS alone would never
+# collect an abandoned entry (value -> key cycle); boundedness comes
+# from _prune_stopped() instead, which drops entries whose SparkContext
+# is gone on every registry access — a stopped session's JVM released
+# its persisted blocks with it, so dropping the Python handles is all
+# the cleanup that remains.
 _LIVE_CACHES: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _prune_stopped() -> None:
+    # caller holds _CACHES_LOCK
+    for sess in list(_LIVE_CACHES):
+        try:
+            stopped = sess._sc._jsc is None
+        except Exception:
+            stopped = True
+        if stopped:
+            _LIVE_CACHES.pop(sess, None)
 
 
 def _register_cache(df: DataFrame) -> DataFrame:
@@ -119,6 +134,7 @@ def _register_cache(df: DataFrame) -> DataFrame:
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     with _CACHES_LOCK:
+        _prune_stopped()
         _LIVE_CACHES.setdefault(df.sparkSession, []).append(df)
     return df
 
@@ -129,6 +145,7 @@ def clear_caches(spark=None) -> int:
     when called with no argument (the single-session CLI/bench shape).
     Returns the number of caches released."""
     with _CACHES_LOCK:
+        _prune_stopped()
         if spark is None:
             drained: list[DataFrame] = []
             for sess in list(_LIVE_CACHES):

@@ -147,9 +147,14 @@ import re as _re
 _DOCTAG_RE = _re.compile(r"^<([a-z_]+)>(.*)</\1>$")
 
 
-def _doctags_unescape(s: str) -> str:
-    # exact inverse of exports._xml_escape (&amp; LAST — inverse order)
+def _xml_unescape(s: str) -> str:
+    # exact inverse of exports._xml_escape (&amp; LAST — inverse order);
+    # shared by the doctags and html readers so the inverse-order
+    # invariant lives in exactly one place
     return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+
+_doctags_unescape = _xml_unescape  # historical name, same contract
 
 
 def extract_doctags_document(doctags: str) -> list[dict]:
@@ -273,14 +278,13 @@ _HTML_LINE_RES = [
 ]
 
 
-def _html_unescape_content(s: str) -> str:
-    # exact inverse of exports._xml_escape (&amp; LAST — inverse order)
-    return s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+_html_unescape_content = _xml_unescape  # element content: same inverse
 
 
 def _html_unescape_attr(s: str) -> str:
-    # exact inverse of exports._attr_escape
-    return s.replace("&quot;", '"').replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+    # exact inverse of exports._attr_escape (&quot; first, then the
+    # shared content inverse)
+    return _xml_unescape(s.replace("&quot;", '"'))
 
 
 def extract_html_export_document(html: str) -> list[dict]:

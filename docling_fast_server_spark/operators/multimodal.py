@@ -162,13 +162,17 @@ def _decode_png(b: bytes) -> tuple[int, int, int]:
     while pos + 12 <= len(b):
         (ln,) = struct.unpack_from(">I", b, pos)
         typ = b[pos + 4 : pos + 8]
-        data = b[pos + 8 : pos + 8 + ln]
-        if len(data) != ln:
+        if pos + 12 + ln > len(b):  # data or CRC field cut off — checked
+            # BEFORE any unpack so truncation is always ValueError, never
+            # a struct.error escaping the documented contract
             raise ValueError("truncated PNG chunk")
+        data = b[pos + 8 : pos + 8 + ln]
         (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
         if _zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError("PNG chunk CRC mismatch")
         if typ == b"IHDR":
+            if ln != 13:
+                raise ValueError("malformed IHDR chunk")
             w, h, depth, color, comp, filt, ilace = struct.unpack(">IIBBBBB", data)
             if depth != 8 or color != 2 or comp or filt or ilace:
                 raise ValueError("unsupported PNG variant")
@@ -179,12 +183,18 @@ def _decode_png(b: bytes) -> tuple[int, int, int]:
         pos += 12 + ln
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
+    if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):
+        # also bounds the inflate below: IHDR dims cap the scanline
+        # buffer, so a 1 KB deflate bomb cannot expand past ~800 MB and
+        # a sane-dims payload past its own h*(1+3w)
+        raise ValueError("unreasonable PNG dimensions")
+    stride = 3 * w
+    expected = h * (1 + stride)
     try:
-        raw = _zlib.decompress(bytes(idat))
+        raw = _zlib.decompressobj().decompress(bytes(idat), expected + 1)
     except _zlib.error as e:
         raise ValueError(f"bad IDAT zlib stream: {e}") from e
-    stride = 3 * w
-    if len(raw) != h * (1 + stride):
+    if len(raw) != expected:
         raise ValueError("PNG scanline size mismatch")
     total = 0
     prev = bytearray(stride)

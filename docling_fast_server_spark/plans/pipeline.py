@@ -30,10 +30,22 @@ from ..operators.lineage import anti_join_committed, lineage_summary, with_parti
 from ..sources.io import append_table, merge_append_table, read_table, table_exists
 
 
-# outermost (first-in-tree-string) explicit repartition/coalesce with a
-# known partition count, e.g. "Repartition 16, true" /
-# "RepartitionByExpression [doc_id#5], 8"
-_REPART_RE = re.compile(r"(?:^|\n)\s*(?:\+- |:- )?(?:Repartition (\d+)|RepartitionByExpression \[[^\]]*\], (\d+))")
+# an explicit repartition/coalesce node with a known partition count,
+# e.g. "Repartition 16, true" / "RepartitionByExpression [doc_id#5], 8"
+_REPART_RE = re.compile(r"^(?:Repartition (\d+)|RepartitionByExpression \[[^\]]*\], (\d+))")
+# logical nodes that neither change nor obscure the child's partitioning
+# (Sort is EXCLUDED: a logical Sort is a global orderBy = range exchange)
+_NARROW_NODES = frozenset({"Project", "Filter", "Relation", "LocalRelation"})
+
+
+def _plan_nodes(df: DataFrame) -> list:
+    """Optimized-plan node names, top-down (tree decorations stripped)."""
+    out = []
+    for line in df._jdf.queryExecution().optimizedPlan().toString().splitlines():
+        stripped = line.lstrip(" :+-")
+        if stripped:
+            out.append((stripped.split(" ", 1)[0].split("[", 1)[0], stripped))
+    return out
 
 
 def _parse_bytes(v: str) -> int:
@@ -61,7 +73,10 @@ def _estimate_file_splits(spark: SparkSession, files: list) -> int:
         or spark.sparkContext.defaultParallelism
     )
     total = sum(sizes) + len(sizes) * open_cost
-    max_split = min(max_pb, max(open_cost, total // max(min_pn, 1)))
+    # floor of 1 byte: with openCostInBytes=0 and a near-empty listing
+    # the formula yields 0 and the file-chunking loop below would never
+    # terminate (Spark's own default openCost keeps ITS formula nonzero)
+    max_split = max(min(max_pb, max(open_cost, total // max(min_pn, 1))), 1)
     chunks: list[int] = []
     for sz in sizes:
         while sz > max_split:
@@ -80,17 +95,31 @@ def _estimate_file_splits(spark: SparkSession, files: list) -> int:
 def _input_splits(df: DataFrame) -> int:
     """Split count of `df`'s input WITHOUT a DataFrame->RDD conversion
     (round-4 verdict item 8: .rdd forces a duplicate physical planning
-    pass on wide plans just to count splits). Three tiers: an explicit
-    repartition/coalesce in the optimized plan states its count
-    outright; a file-backed scan gets Spark's own split-packing formula
-    over the file listing; only a non-file in-memory relation (tiny by
-    construction) falls back to the RDD hop."""
-    m = _REPART_RE.search(df._jdf.queryExecution().optimizedPlan().toString())
-    if m:
-        return int(m.group(1) or m.group(2))
-    files = df.inputFiles()
-    if files:
-        return _estimate_file_splits(df.sparkSession, files)
+    pass on wide plans just to count splits). Three tiers, each applied
+    only where it is actually DECISIVE:
+    - an explicit repartition/coalesce with nothing but narrow nodes
+      above it states the frame's partitioning outright (a repartition
+      buried under a join does NOT and never matches here);
+    - a pure scan plan (relation + projections/filters only) gets
+      Spark's own split-packing formula over its file listing;
+    - anything wider — joins, aggregates, global sorts: e.g. the resume
+      path's anti-join, whose inputFiles() would conflate BOTH scans'
+      listings — falls back to the RDD hop, which is always correct."""
+    nodes = _plan_nodes(df)
+    for name, stripped in nodes:
+        if name in ("Repartition", "RepartitionByExpression"):
+            m = _REPART_RE.match(stripped)
+            if m:
+                return int(m.group(1) or m.group(2))
+            # repartition(col) with no explicit count lands on the
+            # session's shuffle partitioning
+            return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        if name not in _NARROW_NODES:
+            break  # wide or unknown node above any repartition: bail
+    else:
+        files = df.inputFiles()  # pure scan plan
+        if files:
+            return _estimate_file_splits(df.sparkSession, files)
     return df.rdd.getNumPartitions()
 
 

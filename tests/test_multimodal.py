@@ -228,3 +228,47 @@ def test_transform_media_handles_png(spark, sf_dir):
         assert (r["width"], r["height"]) == (w, h)
         assert r["n_frames"] == len(b) // 64
     assert n_png > 0
+
+
+def test_png_malformed_always_valueerror_never_struct_error():
+    """The degrade contract: EVERY malformed container raises ValueError
+    (a struct.error would escape the per-document boundary and kill the
+    task). Cases from review: truncated CRC field, short IHDR data,
+    dimension bombs, over-long inflate streams."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    good = _encode_png(7)
+    cases = {
+        "crc field truncated": good[:-14],
+        "short IHDR data": sig + chunk(b"IHDR", b"\x00" * 5),
+        "zero width": sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 3, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00", 0))
+        + chunk(b"IEND", b""),
+        "dimension bomb": sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1 << 20, 1 << 20, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10, 9))
+        + chunk(b"IEND", b""),
+        "inflate longer than scanlines": sig
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 100, 9))
+        + chunk(b"IEND", b""),
+    }
+    for name, payload in cases.items():
+        with pytest.raises(ValueError):
+            _decode_png(bytes(payload))

@@ -247,3 +247,45 @@ def test_input_splits_estimate_matches_spark(spark, sf_dir, workdir):
     finally:
         spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
         spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
+
+
+def test_input_splits_wide_plans_fall_back_to_truth(spark, sf_dir):
+    """Review finding: a repartition buried under a join must NOT decide
+    the frame's split count, and a join's combined inputFiles() must not
+    feed the packing estimate — wide plans take the always-correct RDD
+    path. Also: the resume-shaped anti-join gets the true count."""
+    from docling_fast_server_spark.plans.pipeline import (
+        _estimate_file_splits,
+        _input_splits,
+    )
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    other = base.select("doc_id").repartition(16)
+    joined = base.join(other, "doc_id", "left_anti")
+    assert _input_splits(joined) == joined.rdd.getNumPartitions()
+
+    joined2 = base.repartition(16).join(
+        base.select("doc_id").limit(10), "doc_id", "left_semi"
+    )
+    assert _input_splits(joined2) == joined2.rdd.getNumPartitions()
+
+    # repartition(col) with no explicit count = session shuffle partitions
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _input_splits(base.repartition("doc_id")) == n
+
+    # degenerate packing inputs terminate (review: max_split hit 0 with
+    # openCostInBytes=0 and total bytes < defaultParallelism, and the
+    # file-chunking loop subtracted 0 forever)
+    import tempfile
+
+    tiny = tempfile.NamedTemporaryFile(suffix=".parquet", delete=False)
+    tiny.write(b"xy")  # 2 bytes < any core count
+    tiny.close()
+    spark.conf.set("spark.sql.files.openCostInBytes", "0")
+    try:
+        assert _estimate_file_splits(spark, [tiny.name]) >= 1  # terminates
+    finally:
+        spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+        import os as _os
+
+        _os.unlink(tiny.name)
