@@ -84,6 +84,80 @@ COSINE_THRESHOLD = 0.999
 NEAR_STEP = 100_000  # mutated near-dup copies
 EXACT_STEP = 200_000  # exact copies
 
+# --- LSH bucket-skew guards (round-6 verdict item 1) -----------------------
+# A band self-join emits O(k^2) candidate pairs from a (band, key) bucket of
+# k members, and AQE skew-split only parallelizes that blowup — it cannot
+# shrink it. On a boilerplate-heavy crawl corpus (the realistic LLM-data
+# case) one hot bucket can hold millions of near-identical pages. Two
+# defenses, BOTH mirrored bit-exactly by the DuckDB oracles so the parity
+# gate stays meaningful:
+#   1. duplicate cliques are collapsed BEFORE banding (minhash): band
+#      over one representative per shingle-hash-SET-identity clique
+#      (covers byte-identical text as a special case), then expand
+#      verified pairs back through clique membership. Identical set =>
+#      identical signature => identical buckets and pairwise jaccard
+#      1.0, so the expansion reproduces the uncollapsed output exactly
+#      while candidate GENERATION is linear in clique size. The
+#      reference's own first line of dedup is the same exact-first
+#      discipline (/root/reference/src/services/queue_manager.py:917-929).
+#   2. hot-bucket suppression (_drop_hot_buckets): any (band, key)
+#      bucket with more than `cap` members is excluded from pair
+#      generation ENTIRELY — the classic frequent-band suppression of
+#      production LSH (a bucket hotter than the cap is degenerate
+#      boilerplate by construction; genuine pairs inside it still
+#      surface through the OR-construction's other bands unless those
+#      are equally hot). Deterministic, expressible as one map-side-
+#      combinable count + an anti-join AQE broadcasts (the hot list is
+#      empty on healthy corpora), and the chunker's MAX_SPANS_PER_DOC
+#      pattern applied to buckets: bucket_tripwire() reports how often
+#      the cap bites so a pipeline can surface the counter next to its
+#      lineage metrics instead of failing silently.
+# Cap sizing: minhash buckets (post-collapse) share a 4-row signature
+# slice drawn from a ~P_HASH^4 key space — only genuine near-dup families
+# collide, so 1024 is generous. The byte-banded simhash (256 keys/band)
+# and hyperplane embedding (2^6 keys/band) blockers have small key
+# spaces whose AVERAGE bucket grows with the corpus; their caps bound the
+# degenerate case while staying far above the gate-scale maxima (sf1:
+# max simhash bucket ~1k of ~61k docs).
+MINHASH_BUCKET_CAP = 1024
+SIMHASH_BUCKET_CAP = 4096
+EMB_BUCKET_CAP = 4096
+
+
+def _drop_hot_buckets(banded: DataFrame, cap: int) -> DataFrame:
+    """Exclude every (band, key) bucket with more than ``cap`` members
+    from pair generation. One map-side-combinable count produces the hot
+    list (EMPTY on healthy corpora — AQE sees 0 rows and broadcasts the
+    anti-join, so the guard costs a partial aggregation, never a sort or
+    an extra wide exchange); deterministic and reproduced verbatim by
+    the oracles (GROUP BY ... HAVING count > cap + ANTI JOIN)."""
+    hot = (
+        banded.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > cap)
+        .select("band", "key")
+    )
+    return banded.join(hot, ["band", "key"], "left_anti")
+
+
+def bucket_tripwire(banded: DataFrame, cap: int) -> DataFrame:
+    """Lineage-visible skew diagnostics for a banded LSH relation:
+    one row per band with (n_buckets, max_bucket, over_cap_buckets,
+    suppressed_members). A non-zero suppressed_members means
+    _drop_hot_buckets excluded that many banded rows — the signal to
+    widen bands/keys or pre-collapse more aggressively, surfaced as data
+    (append it to a run's metrics sink next to lineage_summary rows)
+    instead of failing silently."""
+    per_bucket = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("n"))
+    return per_bucket.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.sum((F.col("n") > cap).cast("long")).alias("over_cap_buckets"),
+        F.sum(
+            F.when(F.col("n") > cap, F.col("n")).otherwise(F.lit(0))
+        ).cast("long").alias("suppressed_members"),
+    )
+
 
 def _docs(spark, sf_dir) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
@@ -351,28 +425,65 @@ def _verify_jaccard(hsdf: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def q_dedup_minhash(spark, sf_dir):
-    """LSH candidate pairs verified by exact (hash-set) Jaccard >=
-    threshold. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+# clique key = a 2x56-bit fold over the SORTED per-doc shingle-hash set.
+# Set identity (not text identity) is exactly the invariant minhash needs:
+# the whole pipeline downstream of _doc_hashsets sees only hs, so docs
+# with identical sets have identical signatures, identical buckets, and
+# pairwise jaccard exactly 1.0 — collapsing them is a pure refactor of
+# candidate generation (test_dedup_skew pins equality with the
+# uncollapsed pipeline). Folding the ~|words| int64 set elements is ~10x
+# cheaper than re-folding every CHARACTER of the text (the dedup_exact
+# keys), and it reads from the already-cached hsdf — no second text scan.
+# Primes are the largest with (P-1)*base + (POLY_P-1) < 2^63 (the fold
+# elements are poly hashes < POLY_P), Miller-Rabin-verified; ~112
+# combined bits => expected false clique merges at 10^12 docs ~ 1e-10.
+SETF_B1, SETF_P1 = 131, 70_407_420_121_028_779
+SETF_B2, SETF_P2 = 137, 67_323_883_473_392_501
 
-    Plan shape: signatures are narrow (array_min of a transform over the
-    per-doc hash set); the only corpus-wide shuffle is the band-bucket
-    self-join on (band, key); verification is per-candidate-pair
-    array_intersect (_verify_jaccard)."""
-    corpus = mutated_corpus(spark, sf_dir)
-    # the hash-set df feeds signatures, sizes, and both sides of the
-    # intersection join — persist once instead of re-running the fold
-    # per consumer. MEMORY_AND_DISK: hash sets are ~10% of corpus bytes
-    # and spill instead of OOMing at scale. Lifecycle: registered for
-    # clear_caches() — the caller frees it after consuming the result.
-    hsdf = _register_cache(_doc_hashsets(corpus))
-    def _sig_col(j: int):
-        # a plain closure: a `lambda h, j=j` would have two parameters and
-        # PySpark would bind the second to the array index column
-        return F.array_min(F.transform(F.col("hs"), lambda h: _uhash(j, h))).alias(f"h{j}")
 
-    sig = hsdf.select("doc_id", *[_sig_col(j) for j in range(MINHASH_K)])
-    band_structs = [
+def _set_fold(col, base: int, mod: int):
+    """Order-independent set hash: Horner fold over array_sort(col)."""
+    return F.aggregate(
+        F.array_sort(col),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * base + x) % mod,
+    )
+
+
+def _set_fold_sql(col: str, base: int, mod: int) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), list_sort({col})), "
+        f"(sf_acc, sf_x) -> (sf_acc * {base} + sf_x) % {mod})"
+    )
+
+
+def _cliques(corpus: DataFrame) -> DataFrame:
+    """(doc_id, rep): hash-set-identity clique membership over the
+    shingleable corpus; rep = min(doc_id) per clique (diagnostics/test
+    surface — _minhash_stages fuses the same computation with the
+    signature projection so it costs one window, not a groupBy+join)."""
+    from pyspark.sql import Window
+
+    hsdf = _doc_hashsets(corpus)
+    keyed = hsdf.select(
+        "doc_id",
+        _set_fold(F.col("hs"), SETF_B1, SETF_P1).alias("f1"),
+        _set_fold(F.col("hs"), SETF_B2, SETF_P2).alias("f2"),
+    )
+    w = Window.partitionBy("f1", "f2")
+    return keyed.select("doc_id", F.min("doc_id").over(w).alias("rep"))
+
+
+def _sig_col(j: int):
+    # a plain closure: a `lambda h, j=j` would have two parameters and
+    # PySpark would bind the second to the array index column
+    return F.array_min(F.transform(F.col("hs"), lambda h: _uhash(j, h))).alias(f"h{j}")
+
+
+def _band_structs():
+    # built lazily: classic PySpark Column construction needs a live JVM,
+    # so module import must stay Column-free
+    return [
         F.struct(
             F.lit(b).alias("band"),
             F.concat_ws(
@@ -381,19 +492,125 @@ def q_dedup_minhash(spark, sf_dir):
         )
         for b in range(N_BANDS)
     ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+
+
+def _minhash_stages(corpus: DataFrame, bucket_cap: int):
+    """Shared candidate-generation stages: returns (hsdf, tagged,
+    rep_sig, cand) where tagged = (doc_id, signature, rep, csize) and
+    cand is the DISTINCT rep-level candidate pair set. Identical
+    hash SET => identical signature and buckets (and covers identical
+    text as a special case), so banding one representative per
+    set-identity clique loses nothing — and a 10k-deep duplicate clique
+    contributes ONE banded row instead of C(10k, 2) candidate pairs
+    (test_dedup_skew pins this).
+
+    Both hsdf and member feed several consumers (signatures + both verify
+    sides; rep filter + three expansion joins), so each is persisted once
+    (MEMORY_AND_DISK — hash sets are ~10% of corpus bytes and spill
+    instead of OOMing; membership is three int64s/doc). Lifecycle:
+    registered for clear_caches() — the caller frees them after
+    consuming the result."""
+    from pyspark.sql import Window
+
+    hsdf = _register_cache(_doc_hashsets(corpus))
+    # signatures + clique fold in ONE narrow projection off the cached
+    # hash sets, then rep + clique size from a single window on the fold
+    # pair: the only corpus-wide exchange this adds ships 11 int64s per
+    # doc (text itself never shuffles). `tagged` feeds the rep filter
+    # plus the two membership-expansion joins, so it is persisted too
+    # (11 longs/doc after dropping the fold keys). Keeping the consumer
+    # count low matters: concurrent AQE stages race to materialize a
+    # cold cache, each re-running its lineage from the previous cache —
+    # measured at ~0.35 s per racing consumer at sf0.1.
+    combined = hsdf.select(
+        "doc_id",
+        *[_sig_col(j) for j in range(MINHASH_K)],
+        _set_fold(F.col("hs"), SETF_B1, SETF_P1).alias("f1"),
+        _set_fold(F.col("hs"), SETF_B2, SETF_P2).alias("f2"),
+    )
+    w = Window.partitionBy("f1", "f2")
+    tagged = _register_cache(
+        combined.withColumn("rep", F.min("doc_id").over(w))
+        .withColumn("csize", F.count(F.lit(1)).over(w))
+        .drop("f1", "f2")
+    )
+    rep_sig = tagged.filter(F.col("doc_id") == F.col("rep"))
+    bands = rep_sig.select(
+        "doc_id", F.explode(F.array(*_band_structs())).alias("bk")
     ).select("doc_id", "bk.band", "bk.key")
+    capped = _drop_hot_buckets(bands, bucket_cap)
     cand = (
-        bands.alias("x")
-        .join(bands.alias("y"), ["band", "key"])
+        capped.alias("x")
+        .join(capped.alias("y"), ["band", "key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    return _verify_jaccard(hsdf, cand).filter(
-        F.col("jaccard") >= JACCARD_THRESHOLD
+    return hsdf, tagged, rep_sig, cand
+
+
+def minhash_candidate_pairs(
+    corpus: DataFrame, bucket_cap: int = MINHASH_BUCKET_CAP
+) -> DataFrame:
+    """The rep-level candidate pair set alone — the stage whose size the
+    skew guards bound (exposed for tests/diagnostics)."""
+    _, _, _, cand = _minhash_stages(corpus, bucket_cap)
+    return cand
+
+
+def minhash_pairs(
+    corpus: DataFrame, bucket_cap: int = MINHASH_BUCKET_CAP
+) -> DataFrame:
+    """LSH candidate pairs verified by exact (hash-set) Jaccard >=
+    threshold, over any (doc_id, text) corpus. Output: (doc_a, doc_b,
+    jaccard) with doc_a < doc_b.
+
+    Plan shape: signatures are narrow (array_min of a transform over the
+    per-doc hash set); set-identity cliques collapse to representatives
+    before banding (_minhash_stages); the only corpus-wide shuffles
+    carry ids and int64 hashes; verification is per-candidate-pair
+    array_intersect (_verify_jaccard) at the REP level, then verified
+    pairs expand back through clique membership: cross-clique members
+    inherit the rep pair's jaccard (identical hash sets), intra-clique
+    pairs are jaccard 1.0 by construction.
+
+    Expansion is a SINGLE two-join branch: the verified rep pairs plus a
+    diagonal (rep, rep, 1.0) row per non-singleton clique (csize rides
+    the clique window for free, so the diagonal comes off the banding
+    path with no extra aggregate or self-join) joined to membership on
+    both ends. The pair filter keeps a<b on the diagonal (each unordered
+    intra pair once) and every cross combination (cliques are disjoint
+    so a != b always; least/greatest normalizes the order). AQE
+    broadcasts the tiny rep-pair side, so membership never shuffles
+    here."""
+    hsdf, tagged, rep_sig, cand = _minhash_stages(corpus, bucket_cap)
+    ver = _verify_jaccard(hsdf, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    diag = rep_sig.filter(F.col("csize") > 1).select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
     )
+    rep_pairs = ver.unionByName(diag)
+    ma = tagged.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("a"))
+    mb = tagged.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("b"))
+    return (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .filter(
+            (F.col("a") < F.col("b"))
+            | ((F.col("doc_a") != F.col("doc_b")) & (F.col("a") > F.col("b")))
+        )
+        .select(
+            F.least("a", "b").alias("doc_a"),
+            F.greatest("a", "b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+
+def q_dedup_minhash(spark, sf_dir):
+    """minhash_pairs over the mutated corpus (the registered query)."""
+    return minhash_pairs(mutated_corpus(spark, sf_dir))
 
 
 _SIG_COLS_SQL = ",\n               ".join(
@@ -426,27 +643,55 @@ _VERIFY_SQL = """
     )
 """
 
+# clique-collapse + bucket-cap mirror of _minhash_stages/minhash_pairs:
+# band only clique representatives, cap each (band, key) bucket to the
+# deterministic first MINHASH_BUCKET_CAP by doc_id, verify at rep level,
+# then expand through membership (cross pairs inherit the rep jaccard,
+# intra-clique pairs are 1.0 by construction).
 ORACLE_DEDUP_MINHASH = f"""
     WITH corpus AS ({MUTATED_SQL}),
     hsets AS ({HASHSETS_SQL}),
-    sig AS (
+    tagged AS (
         SELECT doc_id,
-               {_SIG_COLS_SQL}
+               {_SIG_COLS_SQL},
+               min(doc_id) OVER (PARTITION BY
+                   {_set_fold_sql('hs', SETF_B1, SETF_P1)},
+                   {_set_fold_sql('hs', SETF_B2, SETF_P2)}) AS rep
         FROM hsets
     ),
+    member AS (SELECT doc_id, rep FROM tagged),
+    sig AS (SELECT * FROM tagged WHERE doc_id = rep),
     bands AS (
         {_BANDS_SQL}
     ),
+    hot AS (
+        SELECT band, key FROM bands
+        GROUP BY band, key HAVING count(*) > {MINHASH_BUCKET_CAP}
+    ),
+    capped AS (
+        SELECT doc_id, band, key FROM bands ANTI JOIN hot USING (band, key)
+    ),
     pairs AS (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+        FROM capped x JOIN capped y ON x.band = y.band AND x.key = y.key
         WHERE x.doc_id < y.doc_id
     ),
-    {_VERIFY_SQL}
-    SELECT doc_a, doc_b,
-           round(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) AS jaccard
-    FROM verified
-    WHERE round(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) >= {JACCARD_THRESHOLD}
+    {_VERIFY_SQL},
+    rep_pairs AS (
+        SELECT doc_a, doc_b,
+               round(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) AS jaccard
+        FROM verified
+        WHERE round(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) >= {JACCARD_THRESHOLD}
+    )
+    SELECT least(a.doc_id, b.doc_id) AS doc_a,
+           greatest(a.doc_id, b.doc_id) AS doc_b,
+           p.jaccard
+    FROM rep_pairs p
+    JOIN member a ON a.rep = p.doc_a
+    JOIN member b ON b.rep = p.doc_b
+    UNION ALL
+    SELECT p.doc_id AS doc_a, q.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+    FROM member p JOIN member q ON p.rep = q.rep AND p.doc_id < q.doc_id
 """
 
 
@@ -538,8 +783,14 @@ ORACLE_DEDUP_SIMHASH = f"""
 
 def q_dedup_simhash_pairs(spark, sf_dir):
     """Near-dup pairs: hamming(simhash) <= HAMMING_MAX, blocked on 4
-    nibble bands (pigeonhole: <=3 differing bits over 4 bands leaves at
-    least one band identical), so no all-pairs join exists at scale."""
+    byte bands (pigeonhole: <=3 differing bits over 4 bands leaves at
+    least one band identical), so no all-pairs join exists at scale.
+    Buckets hotter than SIMHASH_BUCKET_CAP are suppressed entirely
+    (_drop_hot_buckets — deterministic, oracle-mirrored): the byte-band
+    key space is only 256 per band, so a duplicate-heavy corpus
+    concentrates into few buckets and suppression bounds the self-join's
+    worst case; bucket_tripwire() over the banded relation reports when
+    it bites (the signal to widen the fingerprint/bands)."""
     sig = q_dedup_simhash(spark, sf_dir)
     banded = sig.select(
         "doc_id",
@@ -558,9 +809,10 @@ def q_dedup_simhash_pairs(spark, sf_dir):
             )
         ).alias("bk"),
     ).select("doc_id", "simhash", "bk.band", "bk.key")
+    capped = _drop_hot_buckets(banded, SIMHASH_BUCKET_CAP)
     pairs = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "key"])
+        capped.alias("x")
+        .join(capped.alias("y"), ["band", "key"])
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
             F.col("x.doc_id").alias("doc_a"),
@@ -576,17 +828,31 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     return pairs
 
 
+# explicit banded + capped CTEs (the r5 oracle's OR-condition join could
+# not express the per-bucket cap; this mirrors the Spark relation 1:1)
+_SIMHASH_BANDED_SQL = "\n        UNION ALL\n        ".join(
+    f"SELECT doc_id, simhash, {k} AS band, (simhash // {256 ** k}) % 256 AS key FROM sig"
+    for k in range(4)
+)
+
 ORACLE_DEDUP_SIMHASH_PAIRS = f"""
     WITH corpus AS ({MUTATED_SQL}),
-    {_SIMHASH_CORE_SQL}
+    {_SIMHASH_CORE_SQL},
+    banded AS (
+        {_SIMHASH_BANDED_SQL}
+    ),
+    hot AS (
+        SELECT band, key FROM banded
+        GROUP BY band, key HAVING count(*) > {SIMHASH_BUCKET_CAP}
+    ),
+    capped AS (
+        SELECT * FROM banded ANTI JOIN hot USING (band, key)
+    )
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
            CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
-    FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+    FROM capped x JOIN capped y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
     WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
-      AND (x.simhash % 256 = y.simhash % 256
-           OR (x.simhash // 256) % 256 = (y.simhash // 256) % 256
-           OR (x.simhash // 65536) % 256 = (y.simhash // 65536) % 256
-           OR (x.simhash // 16777216) % 256 = (y.simhash // 16777216) % 256)
 """
 
 
@@ -617,10 +883,14 @@ def q_dedup_embedding(spark, sf_dir):
     )
     allv = base.unionByName(near)
     banded = banded_buckets(spark, allv, EMB_BANDS, EMB_PLANES_PER_BAND)
+    # 2^6 keys/band: small key space, so bound the bucket self-join's
+    # worst case with deterministic hot-bucket suppression
+    # (oracle-mirrored; bucket_tripwire reports when it bites)
+    capped = _drop_hot_buckets(banded, EMB_BUCKET_CAP)
     dot = lambda a, b: F.aggregate(  # noqa: E731
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
-    x, y = banded.alias("x"), banded.alias("y")
+    x, y = capped.alias("x"), capped.alias("y")
     pairs = (
         x.join(y, ["band", "key"])  # one shuffle on the (band, key) pair
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
@@ -656,11 +926,18 @@ def _oracle_dedup_embedding() -> str:
     ),
     planes AS ({planes_sql(EMB_BANDS * EMB_PLANES_PER_BAND)}),
     banded AS ({banded_buckets_sql(EMB_BANDS, EMB_PLANES_PER_BAND)}),
+    hot AS (
+        SELECT band, key FROM banded
+        GROUP BY band, key HAVING count(*) > {EMB_BUCKET_CAP}
+    ),
+    capped AS (
+        SELECT * FROM banded ANTI JOIN hot USING (band, key)
+    ),
     pairs AS (
         SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
                list_dot_product(x.v, y.v) /
                (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) AS cos
-        FROM banded x JOIN banded y
+        FROM capped x JOIN capped y
           ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
     )
     SELECT DISTINCT vec_a, vec_b, round(cos, 4) AS cos_sim

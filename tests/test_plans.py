@@ -110,14 +110,22 @@ def test_fingerprint_plan_is_narrow(spark, sf_dir):
 
 
 def test_minhash_plan_has_no_dictionary(spark, sf_dir):
-    """dedup_minhash signatures are narrow higher-order projections: the
-    plan must contain NO Window (rank dictionary is gone) and no
-    broadcast of a distinct-shingle relation; the hash-set spread
-    repartition plus band/verify joins are the only wide ops."""
+    """dedup_minhash signatures are narrow higher-order projections: no
+    broadcast of a distinct-shingle relation (the round-1 rank
+    dictionary stays gone), no Python eval. The ONLY Window allowed is
+    the r6 per-bucket skew cap, recognizable by its (band, key)
+    partition spec — any other Window would mean a dictionary or
+    per-doc ranking crept back in."""
     import __spark_entry__ as e
 
     plan = _plan(e.queries()["dedup_minhash"](spark, sf_dir))
-    assert "Window" not in plan, plan
+    for line in plan.splitlines():
+        if "Window" in line:
+            # also allowed: the clique-rep min window over the set-fold
+            # pair (f1, f2) — the other r6 skew guard
+            assert ("band" in line and "key" in line) or (
+                "f1" in line and "f2" in line
+            ), line
     assert "BatchEvalPython" not in plan
     assert "HashAggregate" in plan  # verify-stage counts
 
