@@ -182,14 +182,30 @@ import threading as _threading
 import weakref as _weakref
 
 _CACHES_LOCK = _threading.Lock()
-# session -> list of persisted frames. NOTE the registered DataFrames
-# strongly reference their session, so weak KEYS alone would never
-# collect an abandoned entry (value -> key cycle); boundedness comes
-# from _prune_stopped() instead, which drops entries whose SparkContext
-# is gone on every registry access — a stopped session's JVM released
-# its persisted blocks with it, so dropping the Python handles is all
-# the cleanup that remains.
+# session -> list of JVM DataFrame handles (df._jdf, classic PySpark).
+# The values deliberately hold the JAVA object, not the Python
+# DataFrame: a Python DataFrame strongly references its session, which
+# would defeat the weak keys (value -> key cycle, ADVICE r05 — a
+# session abandoned WITHOUT .stop() stayed pinned forever). A py4j
+# handle references only the JVM plan, so abandoned sessions are
+# collectable; a per-session weakref.finalize then unpersists whatever
+# the entry still holds (the JVM in local mode outlives any one
+# session object). Sessions stopped properly are still swept eagerly by
+# _prune_stopped on every registry access.
 _LIVE_CACHES: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+
+
+def _unpersist_handles(handles: list) -> int:
+    """Unpersist + clear a handle list; swallows stopped-JVM errors."""
+    n = 0
+    for jdf in handles:
+        try:
+            jdf.unpersist(False)
+            n += 1
+        except Exception:
+            pass  # session/JVM already gone — nothing to free
+    handles.clear()
+    return n
 
 
 def _prune_stopped() -> None:
@@ -200,6 +216,8 @@ def _prune_stopped() -> None:
         except Exception:
             stopped = True
         if stopped:
+            # a stopped session's JVM side released its blocks already;
+            # dropping the handles is all the cleanup that remains
             _LIVE_CACHES.pop(sess, None)
 
 
@@ -207,9 +225,17 @@ def _register_cache(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    sess = df.sparkSession
     with _CACHES_LOCK:
         _prune_stopped()
-        _LIVE_CACHES.setdefault(df.sparkSession, []).append(df)
+        handles = _LIVE_CACHES.get(sess)
+        if handles is None:
+            handles = []
+            _LIVE_CACHES[sess] = handles
+            # fires when the session object is garbage-collected (the
+            # abandoned-without-stop case); captures only the list
+            _weakref.finalize(sess, _unpersist_handles, handles)
+        handles.append(df._jdf)
     return df
 
 
@@ -221,19 +247,17 @@ def clear_caches(spark=None) -> int:
     with _CACHES_LOCK:
         _prune_stopped()
         if spark is None:
-            drained: list[DataFrame] = []
-            for sess in list(_LIVE_CACHES):
-                drained.extend(_LIVE_CACHES.pop(sess, []))
+            lists = [_LIVE_CACHES[s] for s in list(_LIVE_CACHES)]
         else:
-            drained = _LIVE_CACHES.pop(spark, [])
-    n = 0
-    for df in drained:
-        try:
-            df.unpersist(blocking=False)
-            n += 1
-        except Exception:
-            pass  # session already stopped — nothing to free
-    return n
+            found = _LIVE_CACHES.get(spark)
+            lists = [found] if found is not None else []
+        # drain in place: the per-session finalizer captured these exact
+        # list objects, so they must stay the registry's live values
+        drained: list = []
+        for lst in lists:
+            drained.extend(lst)
+            lst.clear()
+    return _unpersist_handles(drained)
 
 
 def mutated_corpus(spark, sf_dir) -> DataFrame:

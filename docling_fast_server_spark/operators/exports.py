@@ -35,7 +35,16 @@ def _render_md(s: Column) -> Column:
         .when(s["kind"] == K_CODE, F.concat(F.lit("```\n"), s["text"], F.lit("\n```")))
         .when(s["kind"] == K_FORMULA, F.concat(F.lit("$$ "), s["text"], F.lit(" $$")))
         .when(s["kind"] == K_TABLE, F.concat(F.lit("| "), s["text"], F.lit(" |")))
-        .when(s["kind"] == K_PICTURE, F.concat(F.lit("![image]("), s["media_ref"], F.lit(")")))
+        # coalesce: a ref-less picture (kernel-emittable — a <figure>
+        # with no <img src>) must still render, or the dropped span
+        # shifts every later offset on re-ingest (ADVICE r05); readers
+        # map the empty ref back to None
+        .when(
+            s["kind"] == K_PICTURE,
+            F.concat(
+                F.lit("![image]("), F.coalesce(s["media_ref"], F.lit("")), F.lit(")")
+            ),
+        )
         .otherwise(F.coalesce(s["text"], F.lit("")))
     )
 
@@ -55,7 +64,10 @@ def _attr_escape(c: Column) -> Column:
 
 def _render_html(s: Column) -> Column:
     text = _xml_escape(s["text"])
-    ref = _attr_escape(s["media_ref"])
+    # coalesce: concat null-propagates, so a NULL ref would silently drop
+    # the whole table/picture element from the export (ADVICE r05); the
+    # html reader maps the empty attribute back to None
+    ref = _attr_escape(F.coalesce(s["media_ref"], F.lit("")))
     # split the raw kv text first, escape each part for element content
     kv_k = _xml_escape(F.substring_index(s["text"], ": ", 1))
     kv_v = _xml_escape(F.substring_index(s["text"], ": ", -1))

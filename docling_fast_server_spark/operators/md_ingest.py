@@ -74,7 +74,10 @@ def _parse_block(block: str) -> tuple[str, str | None, str | None]:
     if block.startswith("| ") and block.endswith(" |"):
         return (K_TABLE, block[2:-2], None)
     if block.startswith("![image](") and block.endswith(")"):
-        return (K_PICTURE, None, block[9:-1])
+        # empty parens = the exporter's rendering of a ref-less picture
+        # (media_ref NULL coalesced to ''); '' is not kernel-emittable,
+        # so mapping it back to None is the exact inverse
+        return (K_PICTURE, None, block[9:-1] or None)
     return (K_TEXT, block, None)
 
 
@@ -171,7 +174,9 @@ def extract_doctags_document(doctags: str) -> list[dict]:
             raise ValueError(f"malformed doctags line: {line[:80]!r}")
         kind, body = m.group(1), _doctags_unescape(m.group(2))
         if kind == K_PICTURE:
-            text, ref = None, body
+            # '' = the exporter's coalesce of a NULL ref; not
+            # kernel-emittable, so None is the exact inverse
+            text, ref = None, body or None
         else:
             text, ref = body, None
         spans.append(
@@ -302,10 +307,12 @@ def extract_html_export_document(html: str) -> list[dict]:
                 text = f"{_html_unescape_content(m.group(1))}: {_html_unescape_content(m.group(2))}"
                 ref = None
             elif kind == K_TABLE:
-                ref = _html_unescape_attr(m.group(1))
+                # empty attr = the exporter's coalesce of a NULL ref
+                # ('' is not kernel-emittable -> None is exact inverse)
+                ref = _html_unescape_attr(m.group(1)) or None
                 text = _html_unescape_content(m.group(2))
             elif kind == K_PICTURE:
-                text, ref = None, _html_unescape_attr(m.group(1))
+                text, ref = None, _html_unescape_attr(m.group(1)) or None
             else:
                 text, ref = _html_unescape_content(m.group(1)), None
             spans.append(

@@ -158,7 +158,7 @@ def _decode_png(b: bytes) -> tuple[int, int, int]:
     ValueError on any malformed container."""
     if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG container")
-    pos, w, h, idat = 8, None, None, bytearray()
+    pos, w, h, idat, seen_iend = 8, None, None, bytearray(), False
     while pos + 12 <= len(b):
         (ln,) = struct.unpack_from(">I", b, pos)
         typ = b[pos + 4 : pos + 8]
@@ -170,6 +170,7 @@ def _decode_png(b: bytes) -> tuple[int, int, int]:
         (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
         if _zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
             raise ValueError("PNG chunk CRC mismatch")
+        pos += 12 + ln
         if typ == b"IHDR":
             if ln != 13:
                 raise ValueError("malformed IHDR chunk")
@@ -179,8 +180,18 @@ def _decode_png(b: bytes) -> tuple[int, int, int]:
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
+            if ln != 0:
+                raise ValueError("IEND chunk must be empty")
+            seen_iend = True
             break
-        pos += 12 + ln
+    # the walk must END the container: a missing IEND (truncated-at-a-
+    # chunk-boundary file) or trailing bytes after it are malformed, not
+    # decodable (ADVICE r05 — the documented contract is 'raises on ANY
+    # malformed container', and the <12-byte tail case slipped through)
+    if not seen_iend:
+        raise ValueError("missing IEND chunk")
+    if pos != len(b):
+        raise ValueError("trailing bytes after IEND")
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
     if not (0 < w <= 1 << 14 and 0 < h <= 1 << 14):

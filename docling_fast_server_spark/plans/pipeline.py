@@ -32,7 +32,13 @@ from ..sources.io import append_table, merge_append_table, read_table, table_exi
 
 # an explicit repartition/coalesce node with a known partition count,
 # e.g. "Repartition 16, true" / "RepartitionByExpression [doc_id#5], 8"
-_REPART_RE = re.compile(r"^(?:Repartition (\d+)|RepartitionByExpression \[[^\]]*\], (\d+))")
+# Repartition carries a shuffle flag: `Repartition n, true` is an exact
+# restatement of the partition count, but `Repartition n, false` is a
+# COALESCE — it can only lower the child's count, so `n` is merely an
+# upper bound and must not be read as the result (ADVICE r05).
+_REPART_RE = re.compile(
+    r"^(?:Repartition (\d+), (true|false)|RepartitionByExpression \[[^\]]*\], (\d+))"
+)
 # logical nodes that neither change nor obscure the child's partitioning
 # (Sort is EXCLUDED: a logical Sort is a global orderBy = range exchange)
 _NARROW_NODES = frozenset({"Project", "Filter", "Relation", "LocalRelation"})
@@ -110,7 +116,13 @@ def _input_splits(df: DataFrame) -> int:
         if name in ("Repartition", "RepartitionByExpression"):
             m = _REPART_RE.match(stripped)
             if m:
-                return int(m.group(1) or m.group(2))
+                if m.group(1):
+                    if m.group(2) == "true":
+                        return int(m.group(1))
+                    # coalesce(n): an upper bound, not the result —
+                    # only the RDD hop knows the true count
+                    break
+                return int(m.group(3))
             # repartition(col) with no explicit count lands on the
             # session's shuffle partitioning
             return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))

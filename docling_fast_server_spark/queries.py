@@ -117,7 +117,7 @@ _MD_RENDER = """
       WHEN 'code' THEN '```' || chr(10) || text || chr(10) || '```'
       WHEN 'formula' THEN '$$ ' || text || ' $$'
       WHEN 'table' THEN '| ' || text || ' |'
-      WHEN 'picture' THEN '![image](' || media_ref || ')'
+      WHEN 'picture' THEN '![image](' || coalesce(media_ref, '') || ')'
     END
 """
 
@@ -143,9 +143,9 @@ _HTML_RENDER = f"""
            || '</dt><dd>' || {_sql_xml_esc("split_part(text, ': ', 2)")} || '</dd></dl>'
       WHEN 'code' THEN '<pre><code>' || {_sql_xml_esc("text")} || '</code></pre>'
       WHEN 'formula' THEN '<div class="math">' || {_sql_xml_esc("text")} || '</div>'
-      WHEN 'table' THEN '<table data-ref="' || {_sql_attr_esc("media_ref")} || '">'
+      WHEN 'table' THEN '<table data-ref="' || {_sql_attr_esc("coalesce(media_ref, '')")} || '">'
            || {_sql_xml_esc("text")} || '</table>'
-      WHEN 'picture' THEN '<img src="' || {_sql_attr_esc("media_ref")} || '"/>'
+      WHEN 'picture' THEN '<img src="' || {_sql_attr_esc("coalesce(media_ref, '')")} || '"/>'
     END
 """
 

@@ -141,3 +141,33 @@ def test_dedup_cache_registry_is_session_scoped(spark, sf_dir):
     finally:
         assert dedup.clear_caches(spark) == 1
     assert dedup.clear_caches() == 0
+
+
+def test_abandoned_session_entry_is_collectable(spark):
+    """ADVICE r05: a session abandoned WITHOUT .stop() must not pin its
+    registry entry forever. Values hold JVM handles (not Python
+    DataFrames), so the weak key collects, and the per-session finalizer
+    unpersists the leftover blocks."""
+    import gc
+
+    from docling_fast_server_spark.operators import dedup
+
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() == 0
+    s2 = spark.newSession()  # shares the JVM context, distinct session
+    df = dedup._register_cache(s2.range(10))
+    df.count()
+    assert jsc.getPersistentRDDs().size() == 1
+    assert any(s is s2 for s in list(dedup._LIVE_CACHES))
+    n_before = len(list(dedup._LIVE_CACHES))
+    del df, s2  # abandon without .stop()
+    # pyspark itself pins the MOST RECENT session via the global
+    # RDD.toDF monkey-patch closure; a later session takes that pin
+    # over, which is the long-lived multi-session shape the advice
+    # describes — older abandoned sessions must then be collectable
+    spark.newSession()
+    gc.collect()
+    assert len(list(dedup._LIVE_CACHES)) < n_before
+    # the finalizer released the JVM blocks of the abandoned session
+    assert jsc.getPersistentRDDs().size() == 0
+    assert dedup.clear_caches() == 0

@@ -409,3 +409,51 @@ def test_serialization_fixpoint_all_formats(spark, sf_dir):
             .count()
         )
         assert diff == 0, f"{col}: serialization not a fixpoint"
+
+
+# ---------------------------------------------------------------------------
+# ref-less picture spans (ADVICE r05): a <figure> with no <img src> is
+# kernel-emittable as (picture, None, None) — exports must render it (not
+# null-propagate it away, which shifted all later offsets on re-ingest)
+# and every reader must map the empty ref back to None.
+# ---------------------------------------------------------------------------
+def test_refless_picture_roundtrips_all_formats(spark):
+    from docling_fast_server_spark.model import DOCS_EXTRACTED_SCHEMA
+    from docling_fast_server_spark.operators.md_ingest import (
+        extract_doctags,
+        extract_html_export,
+        extract_markdown,
+    )
+
+    spans = [
+        {"kind": "text", "text": "before", "media_ref": None, "offset": 0},
+        {"kind": "picture", "text": None, "media_ref": None, "offset": 1},
+        {"kind": "table", "text": "c1 | c2", "media_ref": None, "offset": 2},
+        {"kind": "text", "text": "after", "media_ref": None, "offset": 3},
+    ]
+    df = spark.createDataFrame(
+        [("d1", spans, "default", None)], DOCS_EXTRACTED_SCHEMA
+    )
+    exp = with_exports(df)
+    row = exp.collect()[0]
+    # the ref-less spans render instead of vanishing
+    assert "![image]()" in row.markdown
+    assert '<img src=""/>' in row.html
+    assert '<table data-ref="">' in row.html
+
+    def spans_of(reader, col):
+        out = reader(exp.select("doc_id", F.col(col))).collect()[0]
+        assert out.conversion_method == "default", out.error
+        return [
+            (s.kind, s.text, s.media_ref, s.offset) for s in out.spans
+        ]
+
+    want = [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in spans]
+    # html is the exact serialization (keeps table refs)
+    assert spans_of(extract_html_export, "html") == want
+    # markdown/doctags: table media_ref is lossy-to-None anyway and these
+    # spans carry None — so the round-trip is exact here too, offsets
+    # included (the pre-fix behavior dropped the picture and shifted
+    # offsets 2 and 3)
+    assert spans_of(extract_markdown, "markdown") == want
+    assert spans_of(extract_doctags, "doctags") == want

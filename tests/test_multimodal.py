@@ -198,7 +198,15 @@ def test_real_png_decode_path(spark, sf_dir):
 
     bad_crc = bytearray(_encode_png(5))
     bad_crc[-1] ^= 0xFF
-    for bad in (b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, _encode_png(9)[:40], bytes(bad_crc)):
+    good = _encode_png(7)
+    for bad in (
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 8,
+        _encode_png(9)[:40],
+        bytes(bad_crc),
+        good[:-12],  # IHDR+IDAT intact but IEND missing (ADVICE r05)
+        good + b"junk",  # <12 trailing garbage bytes after IEND
+        good + good[8:],  # chunks appended after IEND
+    ):
         with _pytest.raises(ValueError):
             _decode_png(bytes(bad))
 

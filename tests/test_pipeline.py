@@ -205,6 +205,12 @@ def test_input_splits_probe_tiers(spark, sf_dir, workdir):
     assert _input_splits(base.repartition(16)) == 16
     assert _input_splits(base.repartition(8, "doc_id")) == 8
     assert _input_splits(base.coalesce(1)) == 1
+    # coalesce(n) above the child's count cannot INCREASE partitions —
+    # the probe must report the real count, not the stated upper bound
+    # (ADVICE r05: an overestimate makes spread_by_size skip a
+    # repartition it actually needs)
+    two = base.repartition(2)
+    assert _input_splits(two.coalesce(64)) == 2
     # narrow ops above the repartition must not hide it
     assert _input_splits(base.repartition(16).select("doc_id")) == 16
 
