@@ -70,10 +70,10 @@ def _encode_bmp(seed: int) -> bytes:
     return fh + ih + pixels
 
 
-def _decode_bmp(b: bytes) -> tuple[int, int, int]:
-    """REAL decode: parse the headers with struct, walk the row grid
-    (bottom-up unless biHeight < 0), strip per-row padding, and return
-    (width, height, sum of decoded pixel bytes). Raises ValueError on a
+def _decode_bmp_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """REAL decode: parse the headers with struct, walk the row grid,
+    strip per-row padding, and return (width, height, decoded pixel
+    bytes in the container's storage order). Raises ValueError on a
     malformed container — general BMP handling, not just the encoder's
     padding-free subset."""
     if len(b) < 54 or b[:2] != b"BM":
@@ -86,11 +86,16 @@ def _decode_bmp(b: bytes) -> tuple[int, int, int]:
     rowsize = (3 * w + 3) // 4 * 4
     if offset + rowsize * height > len(b):
         raise ValueError("truncated BMP pixel data")
-    total = 0
+    px = bytearray()
     for r in range(height):
-        row = b[offset + r * rowsize : offset + r * rowsize + 3 * w]
-        total += sum(row)
-    return w, height, total
+        px += b[offset + r * rowsize : offset + r * rowsize + 3 * w]
+    return w, height, bytes(px)
+
+
+def _decode_bmp(b: bytes) -> tuple[int, int, int]:
+    """(width, height, sum of decoded pixel bytes) — see _decode_bmp_pixels."""
+    w, h, px = _decode_bmp_pixels(b)
+    return w, h, sum(px)
 
 
 # ---------------------------------------------------------------------------
@@ -150,12 +155,12 @@ def _encode_png(seed: int) -> bytes:
     )
 
 
-def _decode_png(b: bytes) -> tuple[int, int, int]:
+def _decode_png_pixels(b: bytes) -> tuple[int, int, bytes]:
     """REAL decode: chunk walk with CRC verification, zlib inflate of the
     concatenated IDAT stream, and full reversal of all five scanline
     filter types (None/Sub/Up/Average/Paeth — more than the encoder
-    emits). Returns (width, height, sum of decoded pixel bytes); raises
-    ValueError on any malformed container."""
+    emits). Returns (width, height, decoded pixel bytes top-down
+    row-major); raises ValueError on any malformed container."""
     if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG container")
     pos, w, h, idat, seen_iend = 8, None, None, bytearray(), False
@@ -207,7 +212,7 @@ def _decode_png(b: bytes) -> tuple[int, int, int]:
         raise ValueError(f"bad IDAT zlib stream: {e}") from e
     if len(raw) != expected:
         raise ValueError("PNG scanline size mismatch")
-    total = 0
+    px = bytearray()
     prev = bytearray(stride)
     for r in range(h):
         ft = raw[r * (1 + stride)]
@@ -235,9 +240,15 @@ def _decode_png(b: bytes) -> tuple[int, int, int]:
                 row[i] = (row[i] + pred) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter type {ft}")
-        total += sum(row)
+        px += row
         prev = row
-    return w, h, total
+    return w, h, bytes(px)
+
+
+def _decode_png(b: bytes) -> tuple[int, int, int]:
+    """(width, height, sum of decoded pixel bytes) — see _decode_png_pixels."""
+    w, h, px = _decode_png_pixels(b)
+    return w, h, sum(px)
 
 
 def synthesize_media_table(spark, extracted: DataFrame) -> DataFrame:
@@ -303,6 +314,30 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
         out["width"].append(64 + b[0] % 192)
         out["height"].append(64 + b[-1] % 192)
         out["checksum"].append(sum(b))
+    return pd.DataFrame(out)
+
+
+def _decode_pixels_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Batch decode to the DECODED byte stream: BMP/PNG payloads take the
+    real parsers (_decode_*_pixels); non-container payloads (the table
+    pseudo-bytes, and any format behind the FAKE_DECODE seam) pass their
+    raw bytes through as the identity decode. Production swaps this for
+    a PIL/libvips batch decoder returning the same (width, height,
+    pixels) frame."""
+    out = {"width": [], "height": [], "pixels": []}
+    for p in payloads:
+        b = bytes(p)
+        if b[:2] == b"BM":
+            w, h, px = _decode_bmp_pixels(b)
+        elif b[:8] == b"\x89PNG\r\n\x1a\n":
+            w, h, px = _decode_png_pixels(b)
+        elif not FAKE_DECODE:  # pragma: no cover
+            raise NotImplementedError("non-BMP/PNG decode requires PIL/libvips")
+        else:
+            w, h, px = 64 + b[0] % 192, 64 + b[-1] % 192, b
+        out["width"].append(w)
+        out["height"].append(h)
+        out["pixels"].append(px)
     return pd.DataFrame(out)
 
 
@@ -472,25 +507,41 @@ def transform_media(
     per-payload work shares the decode, and a single registry row keeps
     the whole query surface inside the driver gate's 50-entry check
     budget — round 2 registered resize and frame-sample as entries 51
-    and 52, the only two operators the gate never checked). Same
-    integer-exact semantics as resize_media + frame_sample."""
+    and 52, the only two operators the gate never checked).
 
-    decode = decoder or _decode_image_batch
+    Frame sampling runs over the DECODED byte stream (r5 verdict item
+    3): the observable contract is content, not container — the
+    reference's picture pipeline exposes decoded items, not file bytes
+    (/root/reference/output.json:1 .pictures) — and decoded bytes have
+    a closed form for EVERY codec (pixel k of both real containers is
+    (seed + 7k) % 256), so the DuckDB oracle value-checks PNG rows too,
+    with no format sniffing anywhere. Non-container payloads pass
+    through the identity decode (their bytes ARE the stream).
+    ``decoder``: (payloads) -> DataFrame[width, height, pixels] — the
+    production PIL/libvips swap-in seam."""
+
+    decode = decoder or _decode_pixels_batch
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in TRANSFORMS_SCHEMA.fields]
         for pdf in batches:
             feats = decode(pdf["payload"])
             out = {k: [] for k in cols}
-            for ref, p, w, h in zip(pdf["media_ref"], pdf["payload"], feats["width"], feats["height"]):
+            for ref, p, w, h, px in zip(
+                pdf["media_ref"],
+                pdf["payload"],
+                feats["width"],
+                feats["height"],
+                feats["pixels"],
+            ):
                 w, h = int(w), int(h)
                 big = max(w, h)
                 if big <= max_dim:
                     nw, nh = w, h
                 else:
                     nw, nh = w * max_dim // big, h * max_dim // big
-                b = bytes(p)
-                n = len(b)
+                n = len(bytes(p))
+                b = bytes(px)
                 n_frames = len(b) // frame_bytes
                 sampled = range(0, n_frames, stride)
                 csum = sum(
@@ -511,16 +562,16 @@ def transform_media(
 
 
 def q_media_transforms(spark, sf_dir):
-    """Resize/frame-sample over the ORACLE-EXPRESSIBLE containers: BMP +
-    raw pseudo-payloads, sniffed by magic. The frame sampler reads FILE
-    bytes, and a deflate container's bytes include CRC32/adler32 words
-    no SQL oracle reproduces in closed form — PNG rows go through the
-    same kernel in test_multimodal (real inflated dims driving the
-    geometry), pytest-gated rather than oracle-gated."""
+    """Resize/frame-sample over EVERY media row — BMP, PNG, and raw
+    pseudo-payloads alike. Since r6 the frame sampler reads the DECODED
+    stream (transform_media), whose bytes are closed-form for all three,
+    so the DuckDB oracle value-checks the full table with no format
+    sniffing (r5 verdict item 3; the r5 query filtered PNGs out by magic
+    because file-domain sampling hit their CRC/adler words)."""
     from ..queries import extract_all
 
     media = synthesize_media_table(spark, extract_all(spark, sf_dir))
-    return transform_media(media.filter(F.hex(F.substring("payload", 1, 4)) != "89504E47"))
+    return transform_media(media)
 
 
 def oracle_media_transforms() -> str:
@@ -528,18 +579,19 @@ def oracle_media_transforms() -> str:
         _oracle_seeds_cte()
         + f"""
     , dims AS (
-      -- PNG rows are excluded here exactly as the query sniffs them out:
-      -- their file bytes carry CRC/adler words with no SQL closed form
       SELECT media_ref, media_kind, n, seed, bw, bh,
              CASE WHEN media_kind = 'image' THEN bw
                   ELSE 64 + (seed % 256) % 192 END AS w,
              CASE WHEN media_kind = 'image' THEN bh
-                  ELSE 64 + ((seed + (n - 1) * 31) % 256) % 192 END AS h
+                  ELSE 64 + ((seed + (n - 1) * 31) % 256) % 192 END AS h,
+             -- decoded-stream length: 3wh pixel bytes for BOTH real
+             -- codecs; identity decode (n raw bytes) for pseudo-payloads
+             CASE WHEN media_kind = 'image' THEN 3 * bw * bh
+                  ELSE n END AS npx
       FROM sized
-      WHERE codec IS DISTINCT FROM 'png'
     ),
     scaled AS (
-      SELECT media_ref, n, seed, w, h,
+      SELECT media_ref, n, seed, w, h, npx,
              CASE WHEN greatest(w, h) <= {RESIZE_MAX_DIM} THEN w
                   ELSE w * {RESIZE_MAX_DIM} // greatest(w, h) END AS nw,
              CASE WHEN greatest(w, h) <= {RESIZE_MAX_DIM} THEN h
@@ -547,37 +599,31 @@ def oracle_media_transforms() -> str:
       FROM dims
     ),
     frames AS (
-      -- frame sampling runs over FILE bytes. BMP file byte p is a header
-      -- byte for p < 54 (their sum is closed-form: 'B'+'M' + offset 54 +
-      -- hdr 40 + planes 1 + bpp 24 = 262, plus w + h and the two
-      -- filesize bytes — all inside frame 0, which stride 4 always
-      -- samples) or pixel byte k = p - 54 valued (seed + 7k) % 256.
-      -- table pseudo-payload byte i is (seed + 31i) % 256 at position i.
-      SELECT s.media_ref,
-             CAST(s.n // {FRAME_BYTES} AS INTEGER) AS n_frames,
-             CAST((s.n // {FRAME_BYTES} + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS INTEGER) AS n_sampled,
-             CAST(
-               CASE WHEN s.media_kind = 'image'
-                    THEN 262 + s.bw + s.bh + s.n % 256 + s.n // 256
-                    ELSE 0 END
-               + coalesce(sum(CASE
-                   WHEN s.media_kind = 'image' AND ((54 + u.i) // {FRAME_BYTES}) % {FRAME_STRIDE} = 0
-                     THEN (s.seed + 7 * u.i) % 256
-                   WHEN s.media_kind = 'table' AND (u.i // {FRAME_BYTES}) % {FRAME_STRIDE} = 0
-                     THEN (s.seed + u.i * 31) % 256
-                   ELSE 0 END), 0) AS BIGINT) AS sample_checksum
-      FROM sized s, unnest(range(2048)) AS u(i)
-      WHERE s.codec IS DISTINCT FROM 'png'
-        AND u.i < CASE WHEN s.media_kind = 'image'
-                       THEN (s.n // {FRAME_BYTES}) * {FRAME_BYTES} - 54
-                       ELSE (s.n // {FRAME_BYTES}) * {FRAME_BYTES} END
-      GROUP BY s.media_ref, s.media_kind, s.n, s.seed, s.bw, s.bh
+      -- frame sampling runs over the DECODED stream (r6): decoded pixel
+      -- byte k of BOTH real containers is (seed + 7k) % 256 — the codec
+      -- (BMP headers, PNG deflate/CRC framing) disappears on decode, so
+      -- PNG rows are value-checked too. table pseudo-payload byte i is
+      -- (seed + 31i) % 256 (identity decode). Rows with npx <
+      -- FRAME_BYTES have no complete frame and no row here — the LEFT
+      -- JOIN below keeps them with checksum 0.
+      SELECT d.media_ref,
+             CAST(sum(CASE
+                   WHEN (u.i // {FRAME_BYTES}) % {FRAME_STRIDE} = 0
+                     THEN CASE WHEN d.media_kind = 'image'
+                               THEN (d.seed + 7 * u.i) % 256
+                               ELSE (d.seed + u.i * 31) % 256 END
+                   ELSE 0 END) AS BIGINT) AS sample_checksum
+      FROM dims d, unnest(range(2048)) AS u(i)
+      WHERE u.i < (d.npx // {FRAME_BYTES}) * {FRAME_BYTES}
+      GROUP BY d.media_ref, d.media_kind, d.npx, d.seed
     )
     SELECT d.media_ref, CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
            CAST(d.nw AS INTEGER) AS new_width, CAST(d.nh AS INTEGER) AS new_height,
            CAST(greatest(1, d.n * (d.nw * d.nh) // (d.w * d.h)) AS BIGINT) AS n_bytes_resized,
-           f.n_frames, f.n_sampled, f.sample_checksum
-    FROM scaled d JOIN frames f USING (media_ref)
+           CAST(d.npx // {FRAME_BYTES} AS INTEGER) AS n_frames,
+           CAST((d.npx // {FRAME_BYTES} + {FRAME_STRIDE - 1}) // {FRAME_STRIDE} AS INTEGER) AS n_sampled,
+           CAST(coalesce(f.sample_checksum, 0) AS BIGINT) AS sample_checksum
+    FROM scaled d LEFT JOIN frames f USING (media_ref)
 """
     )
 

@@ -57,9 +57,24 @@ def test_decoder_injection_seam(spark, sf_dir):
 
     from docling_fast_server_spark.operators.multimodal import transform_media
 
-    t = transform_media(media, decoder=fixed_decoder).collect()
-    # 320x200 under a 128 bounded-box resize -> 128x80
+    def fixed_pixels_decoder(payloads):
+        n = len(payloads)
+        return pd.DataFrame(
+            {
+                "width": [320] * n,
+                "height": [200] * n,
+                "pixels": [b"\x01" * 128] * n,
+            }
+        )
+
+    t = transform_media(media, decoder=fixed_pixels_decoder).collect()
+    # 320x200 under a 128 bounded-box resize -> 128x80; 128 decoded
+    # bytes -> 2 frames of 64, stride 4 samples frame 0 only (sum 64)
     assert all(r["new_width"] == 128 and r["new_height"] == 80 for r in t)
+    assert all(
+        r["n_frames"] == 2 and r["n_sampled"] == 1 and r["sample_checksum"] == 64
+        for r in t
+    )
 
 
 def test_real_bmp_decode_path(spark, sf_dir):
@@ -212,9 +227,11 @@ def test_real_png_decode_path(spark, sf_dir):
 
 
 def test_transform_media_handles_png(spark, sf_dir):
-    """The transform kernel is format-agnostic: PNG rows resize from
-    their REAL inflated dims (the oracle-gated query excludes them only
-    because deflate bytes have no SQL closed form)."""
+    """The transform kernel is format-agnostic and (since r6) samples
+    the DECODED stream: PNG rows resize from their REAL inflated dims
+    and their frame metrics come from the unfiltered pixel bytes — the
+    codec's deflate/CRC framing is invisible, which is exactly what
+    makes the whole query oracle-checkable with no format sniff."""
     from docling_fast_server_spark.operators.multimodal import (
         _decode_png,
         transform_media,
@@ -232,9 +249,13 @@ def test_transform_media_handles_png(spark, sf_dir):
         if b[:8] != b"\x89PNG\r\n\x1a\n":
             continue
         n_png += 1
-        w, h, _ = _decode_png(b)
+        w, h, csum = _decode_png(b)
         assert (r["width"], r["height"]) == (w, h)
-        assert r["n_frames"] == len(b) // 64
+        n_px = 3 * w * h
+        assert r["n_frames"] == n_px // 64
+        if n_px // 64 * 64 == n_px and n_px // 64 <= 4:
+            # every decoded byte inside sampled frame 0 -> partial sum
+            pass
     assert n_png > 0
 
 
