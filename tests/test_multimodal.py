@@ -301,3 +301,178 @@ def test_png_malformed_always_valueerror_never_struct_error():
     for name, payload in cases.items():
         with pytest.raises(ValueError):
             _decode_png(bytes(payload))
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (r6: third real container, second compression family — LZW —
+# plus palette indirection, which BMP/PNG never exercise)
+# ---------------------------------------------------------------------------
+def test_real_gif_decode_path(spark, sf_dir):
+    """seed%4==3 image rows are REAL GIF files: the features come from a
+    genuine LZW inflate + palette expansion, and the decoded stream obeys
+    the same (seed+7j)%256 law as BMP/PNG (the seed-dependent palette)."""
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_gif,
+        _decode_gif_pixels,
+        extract_media_features,
+    )
+    from docling_fast_server_spark.queries import extract_all
+
+    media = synthesize_media_table(spark, extract_all(spark, sf_dir)).filter(
+        "media_kind = 'image'"
+    )
+    rows = media.collect()
+    gif = [r for r in rows if bytes(r["payload"])[:6] in (b"GIF87a", b"GIF89a")]
+    assert gif, "expected seed%4==3 GIF payloads in the media table"
+    feats = {
+        r["media_ref"]: (r["width"], r["height"], r["checksum"])
+        for r in extract_media_features(media).collect()
+    }
+    for r in gif:
+        b = bytes(r["payload"])
+        seed = sum(r["media_ref"].encode())
+        assert seed % 4 == 3
+        w, h, px = _decode_gif_pixels(b)
+        assert px == bytes((seed + 7 * j) % 256 for j in range(3 * w * h))
+        assert feats[r["media_ref"]] == (w, h, _decode_gif(b)[2])
+
+
+def test_gif_decoder_handles_general_variable_width_lzw():
+    """The decoder is a GENERAL LZW inflater, not just the encoder's
+    fixed-9-bit subset: a greedy compressor with dictionary growth
+    (variable code width up to 12 bits) must round-trip exactly."""
+    import struct
+
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        _gif_palette,
+    )
+
+    w, h, seed = 20, 13, 6
+    indices = bytes((seed + 3 * k) % 256 for k in range(w * h))
+
+    # greedy LZW encoder (textbook): emit CLEAR first, grow the dict
+    min_code = 8
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    dic = {bytes([i]): i for i in range(clear)}
+    width, nxt = min_code + 1, eoi + 1
+    codes = [clear]
+    cur = b""
+    for byt in indices:
+        nxt_cur = cur + bytes([byt])
+        if nxt_cur in dic:
+            cur = nxt_cur
+            continue
+        codes.append((dic[cur], width))
+        dic[nxt_cur] = nxt
+        nxt += 1
+        if nxt - 1 == (1 << width) - 1 and width < 12:
+            pass
+        cur = bytes([byt])
+    # NOTE: encoder width bookkeeping must mirror the decoder's: the
+    # decoder widens AFTER adding entry (1<<width)-1... use the simple
+    # convention: widen when nxt reaches 1<<width
+    # rebuild with correct widths
+    dic = {bytes([i]): i for i in range(clear)}
+    width, nxt = min_code + 1, eoi + 1
+    out_codes = [(clear, width)]
+    cur = b""
+    for byt in indices:
+        nxt_cur = cur + bytes([byt])
+        if nxt_cur in dic:
+            cur = nxt_cur
+            continue
+        out_codes.append((dic[cur], width))
+        dic[nxt_cur] = nxt
+        nxt += 1
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        cur = bytes([byt])
+    if cur:
+        out_codes.append((dic[cur], width))
+    out_codes.append((eoi, width))
+
+    buf, acc, nbits = bytearray(), 0, 0
+    for c, cw in out_codes:
+        acc |= c << nbits
+        nbits += cw
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    blocks = bytearray()
+    for off in range(0, len(buf), 255):
+        chunk = buf[off : off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    f = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+        + _gif_palette(seed)
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        + bytes([min_code])
+        + bytes(blocks)
+        + b"\x00\x3b"
+    )
+    dw, dh, px = _decode_gif_pixels(f)
+    pal = _gif_palette(seed)
+    want = b"".join(pal[3 * i : 3 * i + 3] for i in indices)
+    assert (dw, dh) == (w, h)
+    assert px == want
+
+
+def test_gif_malformed_always_valueerror():
+    """Degrade contract parity with PNG: every malformed container is a
+    ValueError, never a struct.error/KeyError/IndexError."""
+    import pytest as _pytest
+
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        _encode_gif,
+    )
+
+    good = _encode_gif(11)
+    interlaced = bytearray(good)
+    # image descriptor is right after header+palette: 6+7+768 = 781;
+    # packed byte is idesc[9]
+    interlaced[781 + 9] |= 0x40
+    cases = [
+        b"GIF89a",  # truncated header
+        b"NOTGIF" + good[6:],  # bad signature
+        good[:-1],  # trailer cut off
+        good[:-2] + b"\x3b",  # block terminator replaced
+        good + b"x",  # trailing bytes after trailer
+        good[:400],  # truncated mid-palette/stream
+        bytes(interlaced),  # unsupported interlace flag
+    ]
+    for bad in cases:
+        with _pytest.raises(ValueError):
+            _decode_gif_pixels(bytes(bad))
+
+
+def test_transform_media_handles_gif(spark, sf_dir):
+    """GIF rows flow through the decoded-domain transform like the other
+    codecs — real inflated dims, frames over the expanded RGB stream."""
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_gif_pixels,
+        transform_media,
+    )
+    from docling_fast_server_spark.queries import extract_all
+
+    media = synthesize_media_table(spark, extract_all(spark, sf_dir)).filter(
+        "media_kind = 'image'"
+    )
+    rows = transform_media(media).collect()
+    payloads = {r["media_ref"]: bytes(r["payload"]) for r in media.collect()}
+    n_gif = 0
+    for r in rows:
+        b = payloads[r["media_ref"]]
+        if b[:6] not in (b"GIF87a", b"GIF89a"):
+            continue
+        n_gif += 1
+        w, h, px = _decode_gif_pixels(b)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_frames"] == len(px) // 64
+    assert n_gif > 0
