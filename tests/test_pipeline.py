@@ -295,3 +295,32 @@ def test_input_splits_wide_plans_fall_back_to_truth(spark, sf_dir):
         import os as _os
 
         _os.unlink(tiny.name)
+
+
+def test_commit_readback_catalog_fallback(spark, sf_dir, workdir):
+    """Iceberg-path CommitResult carries NO file manifest (file identity
+    lives in the catalog snapshot: io.py returns CommitResult(n) there).
+    _commit_readback must then route through the run_id-filtered table
+    read — the path a real catalog prunes — instead of crashing or
+    scanning nothing (r5 verdict item 5; closes the Iceberg backlog at
+    the in-sandbox ceiling documented in COVERAGE.md)."""
+    from docling_fast_server_spark.plans.pipeline import _commit_readback
+    from docling_fast_server_spark.sources.io import CommitResult, merge_append_table
+
+    out = os.path.join(workdir, "docs_spans")
+    raw = docs_raw(spark, sf_dir, which="all")
+    run_extraction(spark, raw.limit(40), out, os.path.join(workdir, "lin"),
+                   run_id="runA", partitions=2)
+    # a second run so the fallback's run_id filter has something to prune
+    run_extraction(spark, raw, out, os.path.join(workdir, "lin"),
+                   run_id="runB", partitions=2)
+
+    catalog_commit = CommitResult(40)  # Iceberg shape: files=None
+    assert catalog_commit.files is None
+    back = _commit_readback(spark, out, catalog_commit, "runA")
+    assert back.count() == 40
+    assert back.select("run_id").distinct().collect()[0][0] == "runA"
+
+    # and the zero-rows shape (fully-duplicate input) stays empty
+    empty_commit = CommitResult(0, commit_id=None, files=[])
+    assert _commit_readback(spark, out, empty_commit, "runA").count() == 0
