@@ -148,8 +148,18 @@ def logical_items(
 
 def expected_spans(doc_id: int, text: str) -> list[dict]:
     """Golden extraction output for one document — the span-equality oracle
-    (the output.json:1 pattern: captured truth, exact sequence)."""
-    limited = is_degraded(doc_id)
+    (the output.json:1 pattern: captured truth, exact sequence).
+
+    Degradation is error-driven (the kernel retries in limited mode only
+    after hitting a CORRUPT media payload), so a degraded-ID doc with no
+    media slot in any of its paragraphs never degrades — the r6 sf1 gate
+    found exactly such a doc (5559: 10 paragraphs, no media)."""
+    words = _decorate_words(doc_id, text.split(" "))
+    n_paras = (len(words) + PARA_WORDS - 1) // PARA_WORDS
+    limited = is_degraded(doc_id) and any(
+        (doc_id + i) % PIC_MOD == 0 or (doc_id + i) % TBL_MOD == TBL_REM
+        for i in range(n_paras)
+    )
     return [
         {"kind": k, "text": t, "media_ref": m, "offset": i}
         for i, (k, t, m) in enumerate(logical_items(doc_id, text, limited=limited))

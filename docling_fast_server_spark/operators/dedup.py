@@ -16,12 +16,14 @@ exactly reproducible by the DuckDB oracle:
             higher-order functions (split -> transform -> poly byte hash
             -> array_distinct): a NARROW projection, no explode, no
             distinct shuffle, no dictionary. The k min-hash signature
-            values are array_min over the set (still narrow), so the only
-            shuffles in the whole pipeline are the LSH band self-join and
-            the candidate-verify joins — the shape that survives 100 TB.
-            Round 1 built a global distinct-shingle dictionary
-            (distinct + two rank windows + executor-wide broadcast) which
-            is billions of rows at scale; it is gone.
+            values are array_min over the set (still narrow); the
+            corpus-wide shuffles are the clique window (ids + int64
+            folds, r6 skew guard), the rep-only LSH band self-join, and
+            the candidate-verify joins — the shape that survives 100 TB
+            even on a duplicate-heavy crawl corpus. Round 1 built a
+            global distinct-shingle dictionary (distinct + two rank
+            windows + executor-wide broadcast) which is billions of rows
+            at scale; it is gone.
 - simhash:  idf-weighted sign-sum over mixed universal hashes -> 32-bit
             fingerprint, byte-banded pigeonhole blocking for hamming<=3
             pairs. Document frequency is keyed on the int64 shingle hash

@@ -56,6 +56,16 @@ def expected_spans_sql(which: str = "all") -> str:
     which: 'all' | 'html' (even ids) | 'pdf' (odd ids, degraded tier
     applied: docs with doc_id % DEGRADED_MOD == 0 lose picture/table —
     the `limited` pipeline of pdf_processor.py:144-166).
+
+    The degraded relabeling (code/formula -> text) is conditioned on the
+    doc actually HAVING a media item (med.has_media): degradation is
+    error-driven in the kernel — a corrupt media payload triggers the
+    limited retry — so a degraded-ID doc too short to contain any
+    picture/table never degrades. conversion_methods/lineage oracles
+    encoded this from the start; the spans oracle only met such a doc at
+    sf1 (doc 5559: 10 paragraphs, no media slot — found by the r6
+    full-registry sf1 gate). The media-row `limited` filters stay
+    unconditional: they are vacuous for media-free docs by definition.
     """
     if which == "html":
         doc_filter = "WHERE doc_id % 2 = 0"
@@ -64,11 +74,13 @@ def expected_spans_sql(which: str = "all") -> str:
     elif which == "pdf":
         doc_filter = "WHERE doc_id % 2 = 1"
         limited = f"AND doc_id % {DEGRADED_MOD} = 0"
-        degraded = f"doc_id % {DEGRADED_MOD} = 0"
+        degraded = f"(doc_id % {DEGRADED_MOD} = 0 AND has_media = 1)"
     else:
         doc_filter = ""
         limited = f"AND (doc_id % 2 = 1 AND doc_id % {DEGRADED_MOD} = 0)"
-        degraded = f"(doc_id % 2 = 1 AND doc_id % {DEGRADED_MOD} = 0)"
+        degraded = (
+            f"(doc_id % 2 = 1 AND doc_id % {DEGRADED_MOD} = 0 AND has_media = 1)"
+        )
 
     p = PARA_WORDS
     return f"""
@@ -80,6 +92,17 @@ par AS (
          array_to_string(list_slice(w, i*{p}+1, i*{p}+{p}), ' ') AS ptext
   FROM src, (SELECT unnest(range({_MAX_PARAS})) AS i) gs
   WHERE gs.i * {p} < len(w)
+),
+med AS (
+  -- does the doc contain ANY media slot? (the degrade trigger source)
+  SELECT doc_id,
+         max(CASE WHEN (doc_id + i) % {PIC_MOD} = 0
+                   OR (doc_id + i) % {TBL_MOD} = {TBL_REM}
+                  THEN 1 ELSE 0 END) AS has_media
+  FROM par GROUP BY doc_id
+),
+parm AS (
+  SELECT par.*, med.has_media FROM par JOIN med USING (doc_id)
 ),
 items AS (
   SELECT doc_id, i, 0 AS rnk, 'section_header' AS kind,
@@ -98,14 +121,14 @@ items AS (
          CASE WHEN {degraded} THEN 'text' ELSE 'code' END,
          'def ' || w[CAST(i*{p}+1 AS INTEGER)] || '(): return ' || w[CAST(i*{p}+2 AS INTEGER)],
          CAST(NULL AS VARCHAR)
-  FROM par WHERE i % {CODE_MOD} = {CODE_REM} AND len(w) >= i*{p}+2
+  FROM parm WHERE i % {CODE_MOD} = {CODE_REM} AND len(w) >= i*{p}+2
   UNION ALL
   SELECT doc_id, i, 4,
          CASE WHEN {degraded} THEN 'text' ELSE 'formula' END,
          w[CAST(i*{p}+1 AS INTEGER)] || ' = ' || w[CAST(i*{p}+2 AS INTEGER)]
            || ' + ' || w[CAST(i*{p}+3 AS INTEGER)],
          CAST(NULL AS VARCHAR)
-  FROM par WHERE i % {FORMULA_MOD} = {FORMULA_REM} AND len(w) >= i*{p}+3
+  FROM parm WHERE i % {FORMULA_MOD} = {FORMULA_REM} AND len(w) >= i*{p}+3
   UNION ALL
   SELECT doc_id, i, 5, 'picture', CAST(NULL AS VARCHAR),
          'media://' || doc_id || '/img/' || i

@@ -6,13 +6,16 @@ against the DuckDB oracle at ~10x the bench scale to flush band-join
 skew and hash-collision effects. /root/testdata is read-only and has no
 sf1, so this builds one deterministically (no external data):
 
-- documents: 10 replicas of sf0.1 with doc_id' = doc_id + 5000*rep and
-  the word sequence ROTATED by rep positions (rep 0 verbatim). Rotation
-  keeps each document's length and word multiset — so n_chars stays
-  exact and the text-statistics distributions match sf0.1 — while
-  changing shingle sets, so the dedup family sees realistic near-misses
-  instead of 10-deep exact-duplicate cliques that would quadratically
-  inflate every candidate set.
+- documents: 10 VERBATIM replicas of sf0.1 with doc_id' = doc_id +
+  5000*rep. Round 5 rotated each replica's words to avoid 10-deep
+  exact-duplicate cliques (which quadratically inflated every LSH
+  candidate set) — but rotation moved formula/key-value-shaped text to
+  positions the position-seeded extraction oracle does not expect, so
+  the extract/export family diverged at sf1. Round 6's clique collapse
+  makes rotation unnecessary: verbatim replicas ARE the degenerate
+  duplicate-heavy corpus the skew guards exist for (each clique bands
+  as ONE representative), and verbatim text keeps the extraction
+  oracles exact, so the FULL 50-query registry is checkable at sf1.
 - embeddings: 10 replicas with vec_id' = vec_id + 2000*rep (payload
   kept — Spark-vs-DuckDB parity is self-consistent either way).
 - every other table symlinked from sf0.1.
@@ -48,16 +51,9 @@ def main() -> None:
         f"""
         COPY (
           SELECT d.doc_id + {DOC_STEP} * r.rep AS doc_id,
-                 CASE WHEN r.rep = 0 THEN d.text
-                      ELSE array_to_string(
-                             list_concat(w[(k + 1):], w[:k]), ' ')
-                 END AS text,
-                 d.lang, d.source, d.n_chars
-          FROM (
-            SELECT *, str_split(text, ' ') AS w FROM '{SRC}/documents.parquet'
-          ) d
+                 d.text, d.lang, d.source, d.n_chars
+          FROM '{SRC}/documents.parquet' d
           CROSS JOIN reps r
-          CROSS JOIN LATERAL (SELECT CAST(r.rep % len(d.w) AS INTEGER) AS k) kk
           ORDER BY doc_id
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
         """
@@ -77,7 +73,7 @@ def main() -> None:
             os.symlink(f"{SRC}/{t}.parquet", p)
     n_docs = con.execute(f"SELECT count(*) FROM '{dst}/documents.parquet'").fetchone()[0]
     n_vecs = con.execute(f"SELECT count(*) FROM '{dst}/embeddings.parquet'").fetchone()[0]
-    # rotation sanity: length preserved for every replica
+    # sanity: length column consistent for every replica
     bad = con.execute(
         f"""SELECT count(*) FROM '{dst}/documents.parquet'
             WHERE length(text) != n_chars"""
