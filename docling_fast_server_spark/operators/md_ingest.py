@@ -127,16 +127,258 @@ def _make_reader_kernel(reader):
     return run
 
 
-def _reader_df(df, reader, col: str):
-    return df.select("doc_id", df[col].alias("payload")).mapInPandas(
-        _make_reader_kernel(reader), schema=DOCS_EXTRACTED_SCHEMA
+# ---------------------------------------------------------------------------
+# Vectorized reader path (round-5 verdict item 8). The markdown / doctags /
+# canonical-html grammars are line/block-regular, so the happy path parses a
+# whole Arrow batch with pandas str ops + numpy mask dispatch and rebuilds
+# the list<struct> spans column from flat arrays — no per-DOCUMENT Python
+# loop, no per-span dict, mirroring dispatch.py's flat-column marshaling.
+# The per-document readers above stay the semantic definition: any batch
+# containing a doc that trips a guard (malformed line, span ceiling) is
+# re-parsed by the per-doc loop, so degrade behavior — which doc fails,
+# with exactly which error string — is byte-identical by construction
+# (tests/test_reader_vectorized.py pins vector == per-doc on canonical,
+# edge, and malformed corpora). JSON stays per-document: its contract is a
+# strict recursive json.loads + per-field type validation, which has no
+# regular line grammar to lift.
+# ---------------------------------------------------------------------------
+
+def _explode_nonempty(pay: pd.Series, sep: str):
+    """Split every payload on sep and explode, dropping the empty
+    separators exactly as the per-doc readers' `if line == "": continue`.
+    Returns (doc_idx int64 ndarray, values str Series with RangeIndex)."""
+    ex = pay.str.split(sep).explode()
+    ex = ex[ex.notna() & (ex != "")]
+    return ex.index.to_numpy(), ex.reset_index(drop=True)
+
+
+def _within_doc_offsets(doc_idx, n_docs: int):
+    """counts per doc + 0-based within-doc offsets for rows grouped by
+    doc in order (explode preserves both orders)."""
+    import numpy as np
+
+    counts = np.bincount(doc_idx, minlength=n_docs)
+    starts = np.zeros(n_docs, dtype=np.int64)
+    if n_docs > 1:
+        np.cumsum(counts[:-1], out=starts[1:])
+    off = np.arange(len(doc_idx), dtype=np.int64) - np.repeat(starts, counts)
+    return counts, off
+
+
+def _v_unescape(s: pd.Series) -> pd.Series:
+    # vectorized _xml_unescape — same replacement order (&amp; LAST)
+    return (
+        s.str.replace("&lt;", "<", regex=False)
+        .str.replace("&gt;", ">", regex=False)
+        .str.replace("&amp;", "&", regex=False)
     )
+
+
+def _v_unescape_attr(s: pd.Series) -> pd.Series:
+    # vectorized _html_unescape_attr — &quot; first, then content inverse
+    return _v_unescape(s.str.replace("&quot;", '"', regex=False))
+
+
+def _empty_to_none(s: pd.Series):
+    """'' -> None on an object ndarray (the exporter's NULL-ref coalesce
+    inverse, applied vectorized)."""
+    arr = s.to_numpy(dtype=object).copy()
+    arr[arr == ""] = None
+    return arr
+
+
+def _vparse_markdown(pay: pd.Series):
+    """Vectorized extract_markdown_document over a payload batch.
+    Returns (kind, text, ref object ndarrays, offsets, counts) or None
+    when any doc needs the per-doc fallback (only the span ceiling —
+    every block classifies, default kind is text)."""
+    import numpy as np
+
+    didx, v = _explode_nonempty(pay, "\n\n")
+    counts, off = _within_doc_offsets(didx, len(pay))
+    if len(counts) and counts.max(initial=0) > MAX_SPANS_PER_DOC:
+        return None
+    n = len(v)
+    kind = np.full(n, K_TEXT, dtype=object)
+    text = v.to_numpy(dtype=object).copy()
+    ref = np.full(n, None, dtype=object)
+    rem = np.ones(n, dtype=bool)
+    # same precedence as _parse_block's if-chain; identical slice bounds
+    for cond, k, lo, hi in (
+        (v.str.startswith("## "), K_SECTION_HEADER, 3, None),
+        (v.str.startswith("- "), K_KEY_VALUE, 2, None),
+        (v.str.startswith("```\n") & v.str.endswith("\n```"), K_CODE, 4, -4),
+        (v.str.startswith("$$ ") & v.str.endswith(" $$"), K_FORMULA, 3, -3),
+        (v.str.startswith("| ") & v.str.endswith(" |"), K_TABLE, 2, -2),
+    ):
+        m = cond.to_numpy() & rem
+        if m.any():
+            kind[m] = k
+            text[m] = v[m].str.slice(lo, hi).to_numpy(dtype=object)
+            rem &= ~m
+    m = (v.str.startswith("![image](") & v.str.endswith(")")).to_numpy() & rem
+    if m.any():
+        kind[m] = K_PICTURE
+        text[m] = None
+        ref[m] = _empty_to_none(v[m].str.slice(9, -1))
+    return kind, text, ref, off, counts
+
+
+def _vparse_doctags(pay: pd.Series):
+    """Vectorized extract_doctags_document; None on any malformed line
+    or span-ceiling doc (whole-batch per-doc fallback)."""
+    import numpy as np
+
+    didx, v = _explode_nonempty(pay, "\n")
+    counts, off = _within_doc_offsets(didx, len(pay))
+    if len(counts) and counts.max(initial=0) > MAX_SPANS_PER_DOC:
+        return None
+    ext = v.str.extract(_DOCTAG_RE)
+    if ext[0].isna().any():
+        return None  # some line failed the grammar -> exact per-doc errors
+    kind = ext[0].to_numpy(dtype=object)
+    body = _v_unescape(ext[1])
+    text = body.to_numpy(dtype=object).copy()
+    ref = np.full(len(v), None, dtype=object)
+    is_pic = kind == K_PICTURE
+    if is_pic.any():
+        text[is_pic] = None
+        ref[is_pic] = _empty_to_none(body[is_pic])
+    return kind, text, ref, off, counts
+
+
+def _vparse_html_export(pay: pd.Series):
+    """Vectorized extract_html_export_document; None on any line no
+    canonical pattern matches or a span-ceiling doc."""
+    import numpy as np
+
+    didx, v = _explode_nonempty(pay, "\n")
+    counts, off = _within_doc_offsets(didx, len(pay))
+    if len(counts) and counts.max(initial=0) > MAX_SPANS_PER_DOC:
+        return None
+    n = len(v)
+    kind = np.full(n, None, dtype=object)
+    text = np.full(n, None, dtype=object)
+    ref = np.full(n, None, dtype=object)
+    rem = np.ones(n, dtype=bool)
+    for rx, k in _HTML_LINE_RES:  # same first-match-wins order
+        m = v.str.match(rx).to_numpy() & rem
+        if not m.any():
+            continue
+        sub = v[m].str.extract(rx)
+        kind[m] = k
+        if k == K_KEY_VALUE:
+            text[m] = (
+                _v_unescape(sub[0]) + ": " + _v_unescape(sub[1])
+            ).to_numpy(dtype=object)
+        elif k == K_TABLE:
+            ref[m] = _empty_to_none(_v_unescape_attr(sub[0]))
+            text[m] = _v_unescape(sub[1]).to_numpy(dtype=object)
+        elif k == K_PICTURE:
+            ref[m] = _empty_to_none(_v_unescape_attr(sub[0]))
+        else:
+            text[m] = _v_unescape(sub[0]).to_numpy(dtype=object)
+        rem &= ~m
+    if rem.any():
+        return None  # malformed canonical-html line -> exact per-doc errors
+    return kind, text, ref, off, counts
+
+
+def _perdoc_flat(pay: pd.Series, reader):
+    """The degrade-never-die per-doc loop in flat-column form — the
+    fallback batch path of the Arrow kernel, and the only path that can
+    emit METHOD_FAILED rows. Same try/except shape as
+    _make_reader_kernel, so error strings are identical."""
+    import numpy as np
+
+    out_k: list = []
+    out_t: list = []
+    out_r: list = []
+    out_o: list = []
+    counts = np.zeros(len(pay), dtype=np.int64)
+    methods: list = []
+    errors: list = []
+    for i, payload in enumerate(pay):
+        try:
+            out = reader(payload or "")
+            method, err = METHOD_DEFAULT, None
+        except Exception as e:  # degrade, never die
+            out, method, err = [], METHOD_FAILED, str(e)[:500]
+        counts[i] = len(out)
+        for s in out:
+            out_k.append(s["kind"])
+            out_t.append(s["text"])
+            out_r.append(s["media_ref"])
+            out_o.append(s["offset"])
+        methods.append(method)
+        errors.append(err)
+    return (
+        np.array(out_k, dtype=object),
+        np.array(out_t, dtype=object),
+        np.array(out_r, dtype=object),
+        np.array(out_o, dtype=np.int64),
+        counts,
+        methods,
+        errors,
+    )
+
+
+def _make_arrow_kernel(reader, vparse):
+    """mapInArrow kernel: vectorized happy path, whole-batch per-doc
+    fallback when vparse declines (rare by contract — canonical exports
+    always vectorize)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from .dispatch import _arrow_schema
+
+    def run(batches):
+        schema = _arrow_schema()
+        spans_t = schema.field("spans").type
+        struct_fields = [spans_t.value_type.field(i) for i in range(4)]
+        for b in batches:
+            ids = b.column(0)
+            pay = b.column(1).to_pandas().fillna("").reset_index(drop=True)
+            res = vparse(pay)
+            if res is not None:
+                k, t, r, off, counts = res
+                methods = pa.array([METHOD_DEFAULT] * len(pay), type=pa.string())
+                errors = pa.nulls(len(pay), type=pa.string())
+            else:
+                k, t, r, off, counts, m_l, e_l = _perdoc_flat(pay, reader)
+                methods = pa.array(m_l, type=pa.string())
+                errors = pa.array(e_l, type=pa.string())
+            vals = pa.StructArray.from_arrays(
+                [
+                    pa.array(k, type=pa.string()),
+                    pa.array(t, type=pa.string()),
+                    pa.array(r, type=pa.string()),
+                    pa.array(off.astype(np.int32), type=pa.int32()),
+                ],
+                fields=struct_fields,
+            )
+            cum = np.zeros(len(counts) + 1, dtype=np.int32)
+            np.cumsum(counts, out=cum[1:])
+            spans_arr = pa.ListArray.from_arrays(pa.array(cum, type=pa.int32()), vals)
+            yield pa.RecordBatch.from_arrays(
+                [ids, spans_arr, methods, errors],
+                names=["doc_id", "spans", "conversion_method", "error"],
+            )
+
+    return run
+
+
+def _reader_df(df, reader, col: str, vparse=None):
+    sel = df.select("doc_id", df[col].alias("payload"))
+    if vparse is None:  # json: strict per-doc parse is the contract
+        return sel.mapInPandas(_make_reader_kernel(reader), schema=DOCS_EXTRACTED_SCHEMA)
+    return sel.mapInArrow(_make_arrow_kernel(reader, vparse), schema=DOCS_EXTRACTED_SCHEMA)
 
 
 def extract_markdown(df, md_col: str = "markdown"):
     """DataFrame(doc_id, <md_col>) -> DataFrame(doc_id, spans,
     conversion_method, error). Narrow map stage — no shuffle."""
-    return _reader_df(df, extract_markdown_document, md_col)
+    return _reader_df(df, extract_markdown_document, md_col, _vparse_markdown)
 
 
 # ---------------------------------------------------------------------------
@@ -189,7 +431,7 @@ def extract_doctags_document(doctags: str) -> list[dict]:
 
 def extract_doctags(df, dt_col: str = "doctags"):
     """DataFrame(doc_id, <dt_col>) -> extracted spans. Narrow map stage."""
-    return _reader_df(df, extract_doctags_document, dt_col)
+    return _reader_df(df, extract_doctags_document, dt_col, _vparse_doctags)
 
 
 # ---------------------------------------------------------------------------
@@ -329,4 +571,4 @@ def extract_html_export_document(html: str) -> list[dict]:
 def extract_html_export(df, html_col: str = "html"):
     """DataFrame(doc_id, <html_col>) -> extracted spans. Narrow map
     stage — the canonical-HTML serialization reader."""
-    return _reader_df(df, extract_html_export_document, html_col)
+    return _reader_df(df, extract_html_export_document, html_col, _vparse_html_export)
