@@ -141,24 +141,34 @@ def _text_and_links(node: _Node) -> tuple[str, int]:
     link-density screen)."""
     out: list[str] = []
     links = 0
-    stack = [(node, node.tag == "a")]
+    stack: list[tuple] = [(node, node.tag == "a")]
     while stack:
         n, in_a = stack.pop()
+        if isinstance(n, str):
+            # strings ride the stack like nodes so interleaved text and
+            # element siblings emit in DOCUMENT order (the earlier form
+            # appended strings eagerly while deferring sibling subtrees,
+            # scrambling "<p>a<br>b</p>" to "ba" — latent until the
+            # streaming extractor's differential tests flushed it; the
+            # corpus never interleaves inline markup in kept blocks)
+            out.append(n)
+            if in_a:
+                links += len(n.strip())
+            continue
         for c in reversed(n.children):
-            if isinstance(c, str):
-                out.append(c)
-                if in_a:
-                    links += len(c.strip())
-            else:
-                stack.append((c, in_a or c.tag == "a"))
+            stack.append((c, in_a or (not isinstance(c, str) and c.tag == "a")))
     return _WS_RE.sub(" ", "".join(out)).strip(), links
 
 
 def _caps_ratio(text: str) -> float:
-    letters = [c for c in text if c.isalpha()]
-    if not letters:
+    # C-dispatch counting (sum(map(...))) — the list-comp form profiled
+    # at ~5% of the HTML kernel. isupper() is False for every non-cased
+    # char, so counting it over the full text equals counting it over
+    # the alpha subset (the heuristic's contract is unchanged).
+    n_alpha = sum(map(str.isalpha, text))
+    if not n_alpha:
         return 0.0
-    return sum(c.isupper() for c in letters) / len(letters)
+    return sum(map(str.isupper, text)) / n_alpha
 
 
 def _is_boilerplate(node: _Node, text: str, is_heading: bool, link_chars: int) -> bool:
@@ -333,9 +343,283 @@ def _parse_html(html: str) -> _Node:
         return tb.root
 
 
-def extract_html_document(doc_id: str, html: str) -> list[dict]:
-    """html -> ordered extracted spans (pure function; unit-testable)."""
-    doc_num = int(doc_id.rsplit("-", 1)[1]) if "-" in doc_id else 0
+# ---------------------------------------------------------------------------
+# streaming extractor: the no-tree fast path. The tree walk never descends
+# into a block-level element (a consumed block IS one span), so the whole
+# extraction is a single forward scan: open a capture at the first
+# block-level tag met outside any capture, accumulate its text / link
+# chars / cells / dl items / figure src while tracking the open-tag stack,
+# and classify at the block's close. No _Node is ever allocated and no
+# subtree is traversed twice — measured ~2x over build-tree-then-walk on
+# the corpus shape (the tree path remains as the bail target and as the
+# semantic reference the differential tests compare against).
+# ---------------------------------------------------------------------------
+_UNSET = object()  # "no direct <img> seen yet" (first img may lack src)
+
+
+def _stream_extract(html: str, doc_num: int) -> list[dict]:
+    """Single-pass extraction; raises _FurnitureBail on the same two
+    constructs as _fast_parse (figure inside furniture, close tag that
+    would pop out of a furniture subtree). Semantics are bit-equal to
+    the tree path: same text segmentation (per inter-tag segment, same
+    conditional unescape), same nearest-match close-tag rule, same
+    first-DIRECT-child dt/dd/img selection, same boilerplate screens."""
+    spans: list[dict] = []
+    stack: list[str] = []  # every open non-void tag, document order
+    skip_stack: list | None = None  # non-None while inside skipped chrome
+    # capture state (cap_tag None <=> not inside a block capture)
+    cap_tag: str | None = None
+    cap_base = 0  # stack index of the capture root
+    cap_raw = ""  # capture root's raw attr text (table id, div class)
+    collect = False  # accumulate parts (every kind but figure)
+    parts: list[str] = []
+    links = 0
+    a_depth = 0
+    cells: list[str] | None = None  # table: finished cell texts
+    cell_parts: list[str] | None = None  # table: open td/th
+    cell_base = 0
+    dt_parts: list[str] | None = None  # dl: open FIRST-direct dt/dd
+    dd_parts: list[str] | None = None
+    item_base = 0
+    dt_txt: str | None = None  # dl: finished first dt/dd text
+    dd_txt: str | None = None
+    fig_src = _UNSET
+
+    def _finish() -> None:
+        """Classify the finished capture; append the span it yields."""
+        nonlocal cell_parts, dt_parts, dd_parts
+        if cell_parts is not None:  # unclosed cell at block end
+            cells.append(_WS_RE.sub(" ", "".join(cell_parts)).strip())
+            cell_parts = None
+        if dt_parts is not None or dd_parts is not None:
+            _finish_item()
+        if cap_tag == "figure":
+            src = None if fig_src is _UNSET else fig_src
+            spans.append(
+                {"kind": K_PICTURE, "text": None, "media_ref": src, "offset": len(spans)}
+            )
+            return
+        text = _WS_RE.sub(" ", "".join(parts)).strip()
+        is_heading = cap_tag in _HEADING_TAGS
+        screen = text or "x"
+        if links / len(screen) > _LINK_DENSITY_MAX:
+            return  # boilerplate: link-dense
+        if not is_heading and cap_tag in _CHROME_CANDIDATE_TAGS:
+            words = screen.split()
+            if len(words) < _CAPS_SHORT_WORDS and _caps_ratio(screen) > _CAPS_RATIO_MAX:
+                return  # boilerplate: shouting chrome
+        if is_heading:
+            item = (K_SECTION_HEADER, text, None)
+        elif cap_tag == "dl":
+            item = (K_KEY_VALUE, f"{dt_txt or ''}: {dd_txt or ''}", None)
+        elif cap_tag == "table":
+            attrs = (
+                {k: (v1 if v1 is not None else v2) for k, v1, v2 in _ATTR_RE.findall(cap_raw)}
+                if "=" in cap_raw
+                else {}
+            )
+            m = re.match(r"tbl-(\d+)$", attrs.get("id", ""))
+            ref = f"media://{doc_num}/tbl/{m.group(1)}" if m else f"media://{doc_num}/tbl/x"
+            item = (K_TABLE, " | ".join(cells), ref)
+        elif cap_tag == "pre":
+            item = (K_CODE, text, None)
+        elif cap_tag == "div" and "math" in (
+            {k: (v1 if v1 is not None else v2) for k, v1, v2 in _ATTR_RE.findall(cap_raw)}
+            if "=" in cap_raw
+            else {}
+        ).get("class", ""):
+            item = (K_FORMULA, text, None)
+        elif text:
+            item = (K_TEXT, text, None)
+        else:
+            return
+        spans.append(
+            {"kind": item[0], "text": item[1], "media_ref": item[2], "offset": len(spans)}
+        )
+
+    def _finish_item() -> None:
+        """Close an open first-direct dt/dd collection."""
+        nonlocal dt_parts, dd_parts, dt_txt, dd_txt
+        if dt_parts is not None:
+            dt_txt = _WS_RE.sub(" ", "".join(dt_parts)).strip()
+            dt_parts = None
+        if dd_parts is not None:
+            dd_txt = _WS_RE.sub(" ", "".join(dd_parts)).strip()
+            dd_parts = None
+
+    # ONE C-level split tokenizes the whole document: the resulting flat
+    # list interleaves text segments with the four capture groups of each
+    # tag ([text, closing, tag, rawattrs, selfclose, text, ...]), so the
+    # per-tag Python work is five list reads — no match objects, no
+    # span()/groups() calls, no position bookkeeping (text segments come
+    # pre-sliced; comments/doctypes contribute four Nones and vanish).
+    toks = _TAG_RE.split(html)
+    n = len(toks) - 1  # toks[n] is the trailing text segment
+    i = 1
+    while i < n:
+        closing = toks[i]
+        tag = toks[i + 1]
+        if cap_tag is not None and skip_stack is None:
+            seg = toks[i - 1]
+            if seg:
+                if "&" in seg:
+                    seg = _unescape(seg)
+                if collect:
+                    parts.append(seg)
+                if a_depth:
+                    links += len(seg.strip())
+                if cell_parts is not None:
+                    cell_parts.append(seg)
+                elif dt_parts is not None:
+                    dt_parts.append(seg)
+                elif dd_parts is not None:
+                    dd_parts.append(seg)
+        j = i
+        i += 5
+        if tag is None:
+            continue  # comment / doctype
+        tag = tag.lower()
+        selfclose = toks[j + 3]
+        if skip_stack is not None:
+            if closing:
+                if tag in skip_stack:
+                    while skip_stack[-1] != tag:
+                        skip_stack.pop()
+                    skip_stack.pop()
+                    if not skip_stack:
+                        skip_stack = None  # furniture closed
+                elif tag in stack:
+                    # would pop an ancestor outside the furniture subtree
+                    raise _FurnitureBail
+            else:
+                if tag == "figure":
+                    raise _FurnitureBail  # figures escape the screen
+                if tag not in _VOID_TAGS and not selfclose:
+                    skip_stack.append(tag)
+            continue
+        if closing:
+            if tag not in stack:
+                continue  # unmatched close: the tree builder ignores it
+            while True:
+                popped = stack.pop()
+                if cap_tag is not None:
+                    if popped == "a" and a_depth:
+                        a_depth -= 1
+                    if cell_parts is not None and len(stack) <= cell_base:
+                        cells.append(_WS_RE.sub(" ", "".join(cell_parts)).strip())
+                        cell_parts = None
+                    elif (dt_parts is not None or dd_parts is not None) and len(
+                        stack
+                    ) <= item_base:
+                        _finish_item()
+                if popped == tag:
+                    break
+            if cap_tag is not None and len(stack) <= cap_base:
+                _finish()
+                cap_tag = None
+            continue
+        # opening tag
+        if cap_tag is None:
+            if tag in _BLOCK_TAGS:
+                cap_tag = tag
+                cap_base = len(stack)
+                cap_raw = toks[j + 2] or ""
+                collect = tag != "figure"
+                parts = []
+                links = 0
+                a_depth = 0
+                cells = [] if tag == "table" else None
+                cell_parts = None
+                dt_parts = dd_parts = None
+                dt_txt = dd_txt = None
+                fig_src = _UNSET
+                if selfclose:  # e.g. <p/>: empty block, closed on the spot
+                    _finish()
+                    cap_tag = None
+                else:
+                    stack.append(tag)
+            elif tag in _FURNITURE_TAGS:
+                if not selfclose:
+                    skip_stack = [tag]
+            elif tag not in _VOID_TAGS and not selfclose:
+                stack.append(tag)
+            continue
+        # opening tag inside a capture
+        if tag in _FURNITURE_TAGS:
+            if not selfclose:
+                skip_stack = [tag]  # chrome inside a block: text skipped
+            continue
+        if tag == "a":
+            if selfclose:
+                continue
+            a_depth += 1
+            stack.append(tag)
+            continue
+        if cells is not None and cell_parts is None and tag in ("td", "th"):
+            if selfclose:
+                cells.append("")  # empty cell, same as an empty td node
+                continue
+            cell_base = len(stack)
+            cell_parts = []
+            stack.append(tag)
+            continue
+        if cap_tag == "dl" and len(stack) == cap_base + 1:
+            # FIRST direct-child dt / dd only (nested or later ones are
+            # plain text context, exactly as the tree's children scan)
+            if tag == "dt" and dt_txt is None and dt_parts is None:
+                if selfclose:
+                    dt_txt = ""
+                else:
+                    item_base = len(stack)
+                    dt_parts = []
+                    stack.append(tag)
+                continue
+            if tag == "dd" and dd_txt is None and dd_parts is None:
+                if selfclose:
+                    dd_txt = ""
+                else:
+                    item_base = len(stack)
+                    dd_parts = []
+                    stack.append(tag)
+                continue
+        if (
+            cap_tag == "figure"
+            and tag == "img"
+            and fig_src is _UNSET
+            and len(stack) == cap_base + 1
+        ):
+            ra = toks[j + 2] or ""
+            attrs = (
+                {k: (v1 if v1 is not None else v2) for k, v1, v2 in _ATTR_RE.findall(ra)}
+                if "=" in ra
+                else {}
+            )
+            fig_src = attrs.get("src")
+        if tag not in _VOID_TAGS and not selfclose:
+            stack.append(tag)
+    if cap_tag is not None:
+        if skip_stack is None:
+            seg = toks[n]
+            if seg:
+                if "&" in seg:
+                    seg = _unescape(seg)
+                if collect:
+                    parts.append(seg)
+                if a_depth:
+                    links += len(seg.strip())
+                if cell_parts is not None:
+                    cell_parts.append(seg)
+                elif dt_parts is not None:
+                    dt_parts.append(seg)
+                elif dd_parts is not None:
+                    dd_parts.append(seg)
+        _finish()  # unclosed trailing block: the tree path emits it too
+    return spans
+
+
+def _tree_extract(html: str, doc_num: int) -> list[dict]:
+    """Build-tree-then-walk extraction — the semantic reference and the
+    bail target for constructs the streaming pass rejects."""
     root = _parse_html(html)
     spans: list[dict] = []
 
@@ -362,6 +646,18 @@ def extract_html_document(doc_id: str, html: str) -> list[dict]:
             walk(c)
 
     walk(root)
+    return spans
+
+
+def extract_html_document(doc_id: str, html: str) -> list[dict]:
+    """html -> ordered extracted spans (pure function; unit-testable)."""
+    doc_num = int(doc_id.rsplit("-", 1)[1]) if "-" in doc_id else 0
+    try:
+        spans = _stream_extract(html, doc_num)
+    except Exception:
+        # _FurnitureBail, or any construct the scanner mishandles ->
+        # the tree path (which itself degrades to html.parser)
+        spans = _tree_extract(html, doc_num)
     if len(spans) > MAX_SPANS_PER_DOC:
         # extraction-boundary ceiling: callers degrade this doc to
         # `failed` rather than feeding a quadratic-cost span array to
