@@ -150,3 +150,62 @@ def test_gate_scale_buckets_stay_under_caps(spark, sf_dir):
         dedup.clear_caches(spark)
     assert worst.c == 0
     assert worst.m < dedup.MINHASH_BUCKET_CAP // 4
+
+
+def test_tripwire_matches_duckdb_oracle(spark, sf_dir):
+    """Driver-grade cross-engine check for the tripwire metric itself:
+    per-band stats of the rep-level minhash banding computed by Spark
+    (bucket_tripwire) and by a DuckDB mirror of the same CTEs must agree
+    value-for-value. (The 50-entry registry is pinned by the driver
+    gate, so this correctness row lives here instead.)"""
+    import duckdb
+
+    from docling_fast_server_spark.operators.dedup import (
+        _BANDS_SQL,
+        _SIG_COLS_SQL,
+        HASHSETS_SQL,
+        MINHASH_BUCKET_CAP,
+        MUTATED_SQL,
+        SETF_B1,
+        SETF_B2,
+        SETF_P1,
+        SETF_P2,
+        _set_fold_sql,
+    )
+
+    corpus = dedup.mutated_corpus(spark, sf_dir)
+    try:
+        _, _, rep_sig, _ = dedup._minhash_stages(corpus, MINHASH_BUCKET_CAP)
+        bands = rep_sig.select(
+            "doc_id", F.explode(F.array(*dedup._band_structs())).alias("bk")
+        ).select("doc_id", "bk.band", "bk.key")
+        got = sorted(
+            (r.band, r.n_buckets, r.max_bucket, r.over_cap_buckets, r.suppressed_members)
+            for r in dedup.bucket_tripwire(bands, MINHASH_BUCKET_CAP).collect()
+        )
+    finally:
+        dedup.clear_caches(spark)
+    sql = f"""
+        WITH corpus AS ({MUTATED_SQL}),
+        hsets AS ({HASHSETS_SQL}),
+        tagged AS (
+            SELECT doc_id, {_SIG_COLS_SQL},
+                   min(doc_id) OVER (PARTITION BY
+                       {_set_fold_sql('hs', SETF_B1, SETF_P1)},
+                       {_set_fold_sql('hs', SETF_B2, SETF_P2)}) AS rep
+            FROM hsets
+        ),
+        sig AS (SELECT * FROM tagged WHERE doc_id = rep),
+        bands AS ({_BANDS_SQL}),
+        per_bucket AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key)
+        SELECT band, count(*), max(n),
+               sum(CASE WHEN n > {MINHASH_BUCKET_CAP} THEN 1 ELSE 0 END),
+               sum(CASE WHEN n > {MINHASH_BUCKET_CAP} THEN n ELSE 0 END)
+        FROM per_bucket GROUP BY band ORDER BY band
+    """
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'")
+    want = [tuple(int(x) for x in r) for r in con.execute(sql).fetchall()]
+    con.close()
+    assert [tuple(int(x) for x in r) for r in got] == want
+    assert want  # at least one band row came back
