@@ -202,3 +202,61 @@ def test_stream_matches_tree_fuzz():
             mismatches += 1
     assert mismatches == 0
     assert bails > 100  # the generator does reach the bail constructs
+
+
+def _rand_html_hostile(r: random.Random) -> str:
+    """Second fuzz shape: attribute values containing angle brackets and
+    quotes, entity runs, CRLF/tab whitespace, deep nesting, stray
+    brackets — the tokenizer-hazard corner of the input space."""
+    parts = []
+    depth = 0
+    for _ in range(r.randint(1, 60)):
+        roll = r.random()
+        if roll < 0.3:
+            parts.append(
+                r.choice(
+                    [
+                        "a &lt; b &gt; c",
+                        "&amp;&amp;",
+                        "x\r\n\ty",
+                        "lone < bracket",
+                        "gt > here",
+                        "&#65;&#x42;",
+                        "plain words and more of them",
+                    ]
+                )
+            )
+        elif roll < 0.6:
+            t = r.choice(_FUZZ_TAGS)
+            attrs = r.choice(
+                [
+                    "",
+                    ' title="a>b"',
+                    " title='</p>'",
+                    ' class="math"',
+                    ' id="tbl-2" data-x="<div>"',
+                    " src='q>r.png'",
+                ]
+            )
+            parts.append(f"<{t}{attrs}>")
+            depth += 1
+        elif roll < 0.9 and depth:
+            parts.append(f"</{r.choice(_FUZZ_TAGS)}>")
+            depth -= 1
+        else:
+            parts.append(r.choice(["</", "< p>", "<>", "<3", "</ div>"]))
+    return "".join(parts)
+
+
+def test_stream_matches_tree_fuzz_hostile():
+    r = random.Random(8675309)
+    mismatches = 0
+    for _ in range(4000):
+        html = _rand_html_hostile(r)
+        s, sbail, tbail = _both(html, 5)
+        if sbail != tbail:
+            mismatches += 1
+            continue
+        if not sbail and s != _tree_extract(html, 5):
+            mismatches += 1
+    assert mismatches == 0
