@@ -1,6 +1,7 @@
 """spark-submit --py-files packaging: the job must run from the zip
-alone, identically at two parallelism levels (the north rule's
-deployment criterion, evidenced in-sandbox via local[2] / local[4])."""
+alone, identically at two parallelism levels with the north rule's literal
+4x ratio (N and 4N executors, evidenced in-sandbox via local[2] /
+local[8])."""
 
 import json
 import os
@@ -29,7 +30,7 @@ def test_spark_submit_pyfiles_two_levels():
 
         spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
     results = {}
-    for master in ("local[2]", "local[4]"):
+    for master in ("local[2]", "local[8]"):
         d = tempfile.mkdtemp(prefix="dfss_submit_")
         try:
             proc = subprocess.run(
@@ -53,4 +54,4 @@ def test_spark_submit_pyfiles_two_levels():
         finally:
             shutil.rmtree(d, ignore_errors=True)
 
-    assert results["local[2]"]["docs_committed"] == results["local[4]"]["docs_committed"] == 500
+    assert results["local[2]"]["docs_committed"] == results["local[8]"]["docs_committed"] == 500
