@@ -476,3 +476,265 @@ def test_transform_media_handles_gif(spark, sf_dir):
         assert (r["width"], r["height"]) == (w, h)
         assert r["n_frames"] == len(px) // 64
     assert n_gif > 0
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (r6: fourth real container, THIRD compression family —
+# DCT + canonical Huffman — which BMP/PNG/GIF never exercise)
+# ---------------------------------------------------------------------------
+def _jpeg_flat_law(seed, w, h):
+    """Expected decoded RGB stream for a fixture JPEG: flat 8x8 blocks,
+    gray(raster block bi) = 144 + seed%16 + bi, replicated to RGB."""
+    bw = w // 8
+    out = bytearray()
+    for p in range(w * h):
+        x, y = p % w, p // w
+        g = 144 + seed % 16 + (y // 8) * bw + x // 8
+        out += bytes((g, g, g))
+    return bytes(out)
+
+
+def test_jpeg_roundtrip_exact_and_file_law():
+    """The DC-only flat-block fixture round-trips LOSSLESSLY (DC quant
+    step 8 makes the quantized code equal the level-shifted gray), and
+    the file length is exactly 331 + nb with a stuffing-free entropy
+    stream — the closed forms the DuckDB oracle relies on."""
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg,
+    )
+
+    for seed in range(200):
+        blob = _encode_jpeg(seed)
+        w, h, px = _decode_jpeg_pixels(blob)
+        assert (w, h) == (8 * (2 + seed % 3), 8 * (1 + seed % 2))
+        assert px == _jpeg_flat_law(seed, w, h), f"seed {seed}"
+        nb = (w // 8) * (h // 8)
+        assert len(blob) == 331 + nb
+        # entropy bytes sit between the headers and the EOI marker
+        assert b"\xff" not in blob[328 : 328 + nb + 1]
+
+
+def test_real_jpeg_decode_path(spark, sf_dir):
+    """seed%4==2 image rows are REAL baseline JPEGs: the features come
+    from a genuine Huffman entropy decode + IDCT, and the decoded stream
+    obeys the flat-block law the oracle mirrors."""
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        extract_media_features,
+    )
+    from docling_fast_server_spark.queries import extract_all
+
+    media = synthesize_media_table(spark, extract_all(spark, sf_dir)).filter(
+        "media_kind = 'image'"
+    )
+    rows = media.collect()
+    jpg = [r for r in rows if bytes(r["payload"])[:2] == b"\xff\xd8"]
+    assert jpg, "expected seed%4==2 JPEG payloads in the media table"
+    feats = {
+        r["media_ref"]: (r["width"], r["height"], r["checksum"])
+        for r in extract_media_features(media).collect()
+    }
+    for r in jpg:
+        b = bytes(r["payload"])
+        seed = sum(r["media_ref"].encode())
+        assert seed % 4 == 2
+        w, h, px = _decode_jpeg_pixels(b)
+        assert px == _jpeg_flat_law(seed, w, h)
+        assert feats[r["media_ref"]] == (w, h, sum(px))
+
+
+def _jpeg_encode_blocks(w, h, blocks, quant, dri=0):
+    """Test-local GENERAL baseline encoder: arbitrary quantized
+    coefficients in zigzag order, run-length AC coding with ZRL, byte
+    stuffing, optional restart markers — everything the fixture encoder
+    deliberately avoids, to prove the decoder is not fixture-shaped."""
+    import struct
+
+    from docling_fast_server_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_ENC,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_ENC,
+        _JPEG_DC_VALS,
+        _JpegBitWriter,
+        _jpeg_dht_segment,
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes(quant)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes([1, 0x11, 0])
+    out += _jpeg_dht_segment(0, 0, _JPEG_DC_BITS, _JPEG_DC_VALS)
+    out += _jpeg_dht_segment(1, 0, _JPEG_AC_BITS, _JPEG_AC_VALS)
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+
+    def put_mag(bw_, v):
+        cat = abs(v).bit_length()
+        bits = v if v >= 0 else v + (1 << cat) - 1
+        return cat, bits
+
+    bw_ = _JpegBitWriter()
+    pred = 0
+    chunks = []
+    for bi, zz in enumerate(blocks):
+        if dri and bi and bi % dri == 0:
+            chunks.append(bw_.flush())
+            chunks.append(b"\xff" + bytes([0xD0 + (bi // dri - 1) % 8]))
+            bw_ = _JpegBitWriter()
+            pred = 0
+        diff = zz[0] - pred
+        pred = zz[0]
+        cat, bits = put_mag(bw_, diff)
+        c, ln = _JPEG_DC_ENC[cat]
+        bw_.put(c, ln)
+        bw_.put(bits, cat)
+        k = 1
+        while k < 64:
+            if all(v == 0 for v in zz[k:]):
+                c, ln = _JPEG_AC_ENC[0x00]
+                bw_.put(c, ln)
+                break
+            run = 0
+            while zz[k] == 0:
+                run += 1
+                k += 1
+            while run >= 16:
+                c, ln = _JPEG_AC_ENC[0xF0]
+                bw_.put(c, ln)
+                run -= 16
+            cat, bits = put_mag(bw_, zz[k])
+            c, ln = _JPEG_AC_ENC[run << 4 | cat]
+            bw_.put(c, ln)
+            bw_.put(bits, cat)
+            k += 1
+    chunks.append(bw_.flush())
+    return bytes(out) + b"".join(chunks) + b"\xff\xd9"
+
+
+def _jpeg_reference_pixels(blocks, quant, w, h):
+    """Independent float-IDCT reference for the general-encoder tests."""
+    import numpy as np
+
+    from docling_fast_server_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_idct_basis,
+    )
+
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    nb = bw_ * bh_
+    coefs = np.zeros((nb, 64))
+    for bi, zz in enumerate(blocks):
+        for k in range(64):
+            coefs[bi, _JPEG_ZIGZAG[k]] = zz[k] * quant[k]
+    a = _jpeg_idct_basis()
+    out = np.einsum("ux,buv,vy->bxy", a, coefs.reshape(nb, 8, 8), a)
+    out = np.clip(np.round(out) + 128, 0, 255).astype(np.uint8)
+    img = np.zeros((bh_ * 8, bw_ * 8), dtype=np.uint8)
+    for bi in range(nb):
+        by, bx = divmod(bi, bw_)
+        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = out[bi]
+    return np.repeat(img[:h, :w].reshape(-1), 3).tobytes()
+
+
+def test_jpeg_decoder_handles_general_baseline():
+    """The decoder handles full baseline JPEG, far beyond the fixture
+    subset: arbitrary AC coefficients, random quant tables, ZRL runs,
+    non-multiple-of-8 dims (edge-block crop), byte stuffing, and
+    DRI/RSTn restart markers."""
+    import numpy as np
+
+    from docling_fast_server_spark.operators.multimodal import (
+        _JPEG_QUANT,
+        _decode_jpeg_pixels,
+    )
+
+    rng = np.random.RandomState(7)
+    for _ in range(15):
+        w, h = int(rng.randint(1, 30)), int(rng.randint(1, 30))
+        bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+        quant = [8] + [int(q) for q in rng.randint(1, 30, size=63)]
+        blocks = []
+        for _ in range(bw_ * bh_):
+            zz = [int(rng.randint(-40, 40))] + [0] * 63
+            for _ in range(int(rng.randint(0, 12))):
+                zz[1 + int(rng.randint(0, 63))] = int(rng.randint(-20, 20))
+            blocks.append(zz)
+        blob = _jpeg_encode_blocks(w, h, blocks, quant)
+        dw, dh, px = _decode_jpeg_pixels(blob)
+        assert (dw, dh) == (w, h)
+        assert px == _jpeg_reference_pixels(blocks, quant, w, h)
+
+    # byte stuffing: a category-11 DC diff's code starts 11111111 at a
+    # byte boundary, so the encoder MUST stuff and the decoder MUST
+    # unstuff
+    blocks = [[1600] + [0] * 63, [1600 - 2047] + [0] * 63]
+    blob = _jpeg_encode_blocks(16, 8, blocks, _JPEG_QUANT)
+    assert b"\xff\x00" in blob
+    _, _, px = _decode_jpeg_pixels(blob)
+    assert px == _jpeg_reference_pixels(blocks, _JPEG_QUANT, 16, 8)
+
+    # restart markers every 2 MCUs reset the DC predictor
+    blocks = [[int(rng.randint(-100, 100))] + [0] * 63 for _ in range(8)]
+    blob = _jpeg_encode_blocks(32, 16, blocks, _JPEG_QUANT, dri=2)
+    assert any(bytes([0xFF, m]) in blob for m in range(0xD0, 0xD8))
+    _, _, px = _decode_jpeg_pixels(blob)
+    assert px == _jpeg_reference_pixels(blocks, _JPEG_QUANT, 32, 16)
+
+
+def test_jpeg_malformed_always_valueerror():
+    """Degrade contract parity with PNG/GIF: truncation at EVERY prefix
+    length, trailing garbage, and header corruption all raise ValueError
+    — never struct.error/KeyError/IndexError. (JPEG carries no checksum,
+    so entropy-bit corruption that still Huffman-decodes is legal — the
+    contract covers container structure, same as libjpeg.)"""
+    import pytest as _pytest
+
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        _encode_jpeg,
+    )
+
+    blob = _encode_jpeg(11)
+    for n in range(len(blob)):
+        with _pytest.raises(ValueError):
+            _decode_jpeg_pixels(blob[:n])
+    for tail in (b"\x00", b"\xff", b"junk"):
+        with _pytest.raises(ValueError):
+            _decode_jpeg_pixels(blob + tail)
+    for i in range(2, 24):  # marker-stream corruption
+        bad = bytearray(blob)
+        bad[i] ^= 0xFF
+        try:
+            _decode_jpeg_pixels(bytes(bad))
+        except ValueError:
+            pass  # the only acceptable exception type
+
+
+def test_transform_media_handles_jpeg(spark, sf_dir):
+    """JPEG rows flow through the decoded-domain transform like the
+    other codecs — real IDCT dims, frames over the RGB-replicated gray
+    stream."""
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_jpeg_pixels,
+        transform_media,
+    )
+    from docling_fast_server_spark.queries import extract_all
+
+    media = synthesize_media_table(spark, extract_all(spark, sf_dir)).filter(
+        "media_kind = 'image'"
+    )
+    rows = transform_media(media).collect()
+    payloads = {r["media_ref"]: bytes(r["payload"]) for r in media.collect()}
+    n_jpg = 0
+    for r in rows:
+        b = payloads[r["media_ref"]]
+        if b[:2] != b"\xff\xd8":
+            continue
+        n_jpg += 1
+        w, h, px = _decode_jpeg_pixels(b)
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["n_frames"] == len(px) // 64
+    assert n_jpg > 0
