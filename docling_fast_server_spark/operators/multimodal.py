@@ -843,13 +843,75 @@ def _decode_jpeg(b: bytes) -> tuple[int, int, int]:
     return w, h, int(sum(px))
 
 
+# ---------------------------------------------------------------------------
+# real TABLE container (CSV, stdlib csv module) — table-kind media rows
+# previously carried pseudo-bytes standing in for an object-store fetch;
+# they are now genuine RFC-4180-style CSV containers parsed by a REAL
+# general parser (csv.reader: quoted fields, embedded commas/newlines,
+# doubled-quote escapes — far beyond the quote-free fixture subset, same
+# generality discipline as the image decoders). The reference analog is
+# the structured table item grid (/root/reference/output.json:1 .tables),
+# whose observable contract is cell CONTENT, not file bytes — so the
+# decoded stream is the concatenated cell texts and every decoded-domain
+# oracle formula is closed-form:
+#   cols = 1 + seed%6, rows = 2 + seed%12 (up to 78 cells)
+#   cell k (row-major) = 'v' + str((seed + 7k) % 100)  (2 or 3 bytes)
+#   file = stream + rows*cols separator bytes ((cols-1) commas + 1
+#          newline per row)
+# Degrade contract: non-UTF-8, empty, and ragged (inconsistent column
+# count) containers raise ValueError. Like JPEG's entropy stream, CSV
+# carries no checksum, so a corruption that still parses as a rectangular
+# table is indistinguishable from data by design.
+# ---------------------------------------------------------------------------
+import csv as _csv
+import io as _io
+
+
+def _encode_table_csv(seed: int) -> bytes:
+    """Deterministic CSV table: cols = 1+seed%6, rows = 2+seed%12, cell
+    k (row-major) = 'v' + str((seed+7k)%100), newline-terminated rows."""
+    cols = 1 + seed % 6
+    nrows = 2 + seed % 12
+    lines = []
+    for r in range(nrows):
+        lines.append(
+            ",".join(f"v{(seed + 7 * (r * cols + c)) % 100}" for c in range(cols))
+        )
+    return ("\n".join(lines) + "\n").encode()
+
+
+def _decode_table_cells(b: bytes) -> tuple[int, int, bytes]:
+    """REAL decode via the stdlib csv parser (general dialect: quoted
+    fields, embedded separators/newlines, escaped quotes). Returns
+    (n_cols, n_rows, decoded stream = concatenated cell texts, UTF-8);
+    raises ValueError on non-UTF-8, empty, or ragged containers."""
+    try:
+        text = bytes(b).decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise ValueError("table payload is not valid UTF-8") from e
+    rows = list(_csv.reader(_io.StringIO(text)))
+    if not rows:
+        raise ValueError("empty table payload")
+    ncols = len(rows[0])
+    if ncols == 0 or any(len(r) != ncols for r in rows):
+        raise ValueError("ragged table rows")
+    stream = "".join(c for r in rows for c in r).encode("utf-8")
+    return ncols, len(rows), stream
+
+
+def _decode_table(b: bytes) -> tuple[int, int, int]:
+    """(n_cols, n_rows, sum of decoded cell-text bytes)."""
+    w, h, stream = _decode_table_cells(b)
+    return w, h, sum(stream)
+
+
 def synthesize_media_table(spark, extracted: DataFrame) -> DataFrame:
     """Build the media side-table from extracted spans: one row per
     media_ref. Image-kind refs get a REAL deterministic payload routed on
     seed%4 — 0: BMP (uncompressed), 1: PNG (deflate), 2: JPEG
-    (DCT + Huffman), 3: GIF (LZW + palette) — table-kind refs keep the
-    pseudo-payload (bytes derived from the ref string — stands in for
-    object-store fetch)."""
+    (DCT + Huffman), 3: GIF (LZW + palette) — table-kind refs get a REAL
+    CSV container (_encode_table_csv), so every synthesized payload
+    decodes through a genuine parser."""
     refs = (
         extracted.select(F.explode("spans").alias("s"))
         .select(F.col("s.media_ref").alias("media_ref"), F.col("s.kind").alias("kind"))
@@ -872,8 +934,7 @@ def synthesize_media_table(spark, extracted: DataFrame) -> DataFrame:
                     else:
                         payload = _encode_gif(seed)
                 else:
-                    n = 256 + (seed * 37) % 1024
-                    payload = bytes((seed + i * 31) % 256 for i in range(n))
+                    payload = _encode_table_csv(seed)
                 rows.append(
                     {
                         "media_ref": ref,
@@ -919,13 +980,41 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def _decode_table_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Batch decode for table-kind media: REAL csv parse per payload
+    (width = columns, height = rows, checksum = sum of decoded
+    cell-text bytes)."""
+    out = {"width": [], "height": [], "checksum": []}
+    for p in payloads:
+        w, h, csum = _decode_table(bytes(p))
+        out["width"].append(w)
+        out["height"].append(h)
+        out["checksum"].append(csum)
+    return pd.DataFrame(out)
+
+
+def _decode_by_kind(pdf: pd.DataFrame, image_fn, table_fn) -> pd.DataFrame:
+    """Default decode dispatch on the TYPED metadata column — the
+    object-store reality (decode is routed by declared content type,
+    not by sniffing): image rows through the codec decoders, table rows
+    through the csv parser, order preserved."""
+    is_img = (pdf["media_kind"] == "image").to_numpy()
+    parts = []
+    if is_img.any():
+        parts.append(image_fn(pdf.loc[is_img, "payload"]).set_index(pdf.index[is_img]))
+    if (~is_img).any():
+        parts.append(
+            table_fn(pdf.loc[~is_img, "payload"]).set_index(pdf.index[~is_img])
+        )
+    return pd.concat(parts).loc[pdf.index]
+
+
 def _decode_pixels_batch(payloads: pd.Series) -> pd.DataFrame:
     """Batch decode to the DECODED byte stream: BMP/PNG/GIF/JPEG payloads
-    take the real parsers (_decode_*_pixels); non-container payloads (the
-    table pseudo-bytes, and any format behind the FAKE_DECODE seam) pass
-    their raw bytes through as the identity decode. Production swaps this
-    for a PIL/libvips batch decoder returning the same (width, height,
-    pixels) frame."""
+    take the real parsers (_decode_*_pixels); any other format behind the
+    FAKE_DECODE seam passes its raw bytes through as the identity decode.
+    Production swaps this for a PIL/libvips batch decoder returning the
+    same (width, height, pixels) frame."""
     out = {"width": [], "height": [], "pixels": []}
     for p in payloads:
         b = bytes(p)
@@ -949,21 +1038,38 @@ def _decode_pixels_batch(payloads: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out)
 
 
+def _decode_table_pixels_batch(payloads: pd.Series) -> pd.DataFrame:
+    """Table analog of _decode_pixels_batch: the decoded stream is the
+    concatenated cell texts (content, not container)."""
+    out = {"width": [], "height": [], "pixels": []}
+    for p in payloads:
+        w, h, stream = _decode_table_cells(bytes(p))
+        out["width"].append(w)
+        out["height"].append(h)
+        out["pixels"].append(stream)
+    return pd.DataFrame(out)
+
+
 def extract_media_features(media: DataFrame, decoder=None) -> DataFrame:
     """Media table -> per-media features via mapInPandas (Arrow-batched;
     one Python worker init per executor — the warmup pattern).
 
     `decoder` is the production swap-in seam: any callable
     (payloads: pd.Series) -> pd.DataFrame[width, height, checksum] — a
-    PIL/libvips batch decoder in production, the deterministic
-    FAKE_DECODE stand-in by default. The seam is itself tested with an
-    injected decoder (test_multimodal.test_decoder_injection_seam), so
-    swapping the real one in changes no Spark-side code."""
-    decode = decoder or _decode_image_batch
+    PIL/libvips batch decoder in production, replacing the ENTIRE
+    default dispatch when provided. The default routes on the typed
+    media_kind column (_decode_by_kind): image rows through the codec
+    decoders, table rows through the real csv parser. The seam is
+    itself tested with an injected decoder
+    (test_multimodal.test_decoder_injection_seam), so swapping the real
+    one in changes no Spark-side code."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = decode(pdf["payload"])
+            if decoder is not None:
+                feats = decoder(pdf["payload"])
+            else:
+                feats = _decode_by_kind(pdf, _decode_image_batch, _decode_table_batch)
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
@@ -1035,8 +1141,19 @@ def _oracle_seeds_cte() -> str:
                   THEN CASE seed % 4 WHEN 0 THEN 3 + seed % 17
                                      WHEN 1 THEN 4 + seed % 11
                                      WHEN 2 THEN 8 * (1 + seed % 2)
-                                     ELSE 3 + seed % 7 END END AS bh
+                                     ELSE 3 + seed % 7 END END AS bh,
+             CASE WHEN media_kind = 'table' THEN 1 + seed % 6 END AS tc,
+             CASE WHEN media_kind = 'table' THEN 2 + seed % 12 END AS tr
       FROM seeds
+    ),
+    tlen AS (
+      -- decoded cell-stream length of a table container: cell k is
+      -- 'v' + str((seed+7k)%100), i.e. 2 or 3 bytes
+      SELECT g.media_ref,
+             sum(CASE WHEN (g.seed + 7 * u.k) % 100 < 10 THEN 2 ELSE 3 END) AS slen
+      FROM geo g, unnest(range(128)) AS u(k)
+      WHERE g.media_kind = 'table' AND u.k < g.tc * g.tr
+      GROUP BY g.media_ref
     ),
     sized AS (
       -- closed-form file lengths:
@@ -1048,22 +1165,26 @@ def _oracle_seeds_cte() -> str:
       --   GIF:  fixed 9-bit LZW (CLEAR before every literal) ->
       --         data_bytes = (9*(2*wh+1)+7)//8, file = 794 + data_bytes
       --         + ceil(data_bytes/255) sub-block length bytes
-      -- table rows keep the pseudo-payload length. Decoded pixel
-      -- streams: BMP/PNG/GIF obey byte j = (seed + 7j) % 256 (GIF via
-      -- its seed-dependent palette); JPEG rows obey the flat-block law
-      -- gray(x,y) = 144 + seed%16 + (y//8)*(w//8) + x//8 replicated to
-      -- RGB — the feature/transform oracles branch on codec for it.
-      SELECT media_ref, media_kind, seed, codec, bw, bh,
-             CASE WHEN media_kind = 'image'
-                  THEN CASE codec
-                       WHEN 'bmp' THEN 54 + 3 * bw * bh
-                       WHEN 'png' THEN 68 + bh * (1 + 3 * bw)
-                       WHEN 'jpeg' THEN 331 + (bw // 8) * (bh // 8)
+      -- table rows are CSV containers: file = decoded cell stream +
+      -- rows*cols separator bytes ((cols-1) commas + 1 newline per
+      -- row). Decoded pixel streams: BMP/PNG/GIF obey byte j =
+      -- (seed + 7j) % 256 (GIF via its seed-dependent palette); JPEG
+      -- rows obey the flat-block law gray(x,y) = 144 + seed%16 +
+      -- (y//8)*(w//8) + x//8 replicated to RGB; table rows decode to
+      -- the concatenated cell texts — the feature/transform oracles
+      -- branch on codec/kind for these laws.
+      SELECT g.media_ref, g.media_kind, g.seed, g.codec, g.bw, g.bh,
+             g.tc, g.tr, t.slen,
+             CASE WHEN g.media_kind = 'image'
+                  THEN CASE g.codec
+                       WHEN 'bmp' THEN 54 + 3 * g.bw * g.bh
+                       WHEN 'png' THEN 68 + g.bh * (1 + 3 * g.bw)
+                       WHEN 'jpeg' THEN 331 + (g.bw // 8) * (g.bh // 8)
                        ELSE 794
-                            + (9 * (2 * bw * bh + 1) + 7) // 8
-                            + ((9 * (2 * bw * bh + 1) + 7) // 8 + 254) // 255 END
-                  ELSE 256 + (seed * 37) % 1024 END AS n
-      FROM geo
+                            + (9 * (2 * g.bw * g.bh + 1) + 7) // 8
+                            + ((9 * (2 * g.bw * g.bh + 1) + 7) // 8 + 254) // 255 END
+                  ELSE t.slen + g.tc * g.tr END AS n
+      FROM geo g LEFT JOIN tlen t ON g.media_ref = t.media_ref
     )
 """
 
@@ -1083,7 +1204,9 @@ def oracle_media_features() -> str:
     # image checksum = sum of decoded pixel bytes: BMP/PNG/GIF pixel k is
     # (seed+7k)%256 (order-free under sum); JPEG rows follow the
     # flat-block law (gray of raster block bi = 144+seed%16+bi, RGB-
-    # replicated). table checksum = sum of the pseudo-payload bytes.
+    # replicated). table checksum = sum of decoded cell-text bytes: the
+    # unnest walks CELLS (not bytes) and adds each cell's byte sum
+    # (118 for 'v' + the ascii digits of (seed+7k)%100).
     return (
         _oracle_seeds_cte()
         + """
@@ -1095,16 +1218,20 @@ def oracle_media_features() -> str:
                            + ((u.i // 3) % s.bw) // 8
                       WHEN s.media_kind = 'image'
                       THEN (s.seed + 7 * u.i) % 256
-                      ELSE (s.seed + u.i * 31) % 256 END) AS checksum
+                      WHEN (s.seed + 7 * u.i) % 100 < 10
+                      THEN 118 + 48 + (s.seed + 7 * u.i) % 100
+                      ELSE 118 + 96 + ((s.seed + 7 * u.i) % 100) // 10
+                           + ((s.seed + 7 * u.i) % 100) % 10 END) AS checksum
       FROM sized s, unnest(range(2048)) AS u(i)
-      WHERE u.i < CASE WHEN s.media_kind = 'image' THEN 3 * s.bw * s.bh ELSE s.n END
+      WHERE u.i < CASE WHEN s.media_kind = 'image' THEN 3 * s.bw * s.bh
+                       ELSE s.tc * s.tr END
       GROUP BY s.media_ref
     )
     SELECT s.media_ref, s.media_kind,
            CAST(CASE WHEN s.media_kind = 'image' THEN s.bw
-                     ELSE 64 + (s.seed % 256) % 192 END AS INTEGER) AS width,
+                     ELSE s.tc END AS INTEGER) AS width,
            CAST(CASE WHEN s.media_kind = 'image' THEN s.bh
-                     ELSE 64 + ((s.seed + (s.n - 1) * 31) % 256) % 192 END AS INTEGER) AS height,
+                     ELSE s.tr END AS INTEGER) AS height,
            CAST(sums.checksum AS BIGINT) AS checksum
     FROM sized s JOIN sums USING (media_ref)
 """
@@ -1161,12 +1288,15 @@ def transform_media(
     ``decoder``: (payloads) -> DataFrame[width, height, pixels] — the
     production PIL/libvips swap-in seam."""
 
-    decode = decoder or _decode_pixels_batch
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in TRANSFORMS_SCHEMA.fields]
         for pdf in batches:
-            feats = decode(pdf["payload"])
+            if decoder is not None:
+                feats = decoder(pdf["payload"])
+            else:
+                feats = _decode_by_kind(
+                    pdf, _decode_pixels_batch, _decode_table_pixels_batch
+                )
             out = {k: [] for k in cols}
             for ref, p, w, h, px in zip(
                 pdf["media_ref"],
@@ -1221,16 +1351,14 @@ def oracle_media_transforms() -> str:
         _oracle_seeds_cte()
         + f"""
     , dims AS (
-      SELECT media_ref, media_kind, n, seed, bw, bh, codec,
-             CASE WHEN media_kind = 'image' THEN bw
-                  ELSE 64 + (seed % 256) % 192 END AS w,
-             CASE WHEN media_kind = 'image' THEN bh
-                  ELSE 64 + ((seed + (n - 1) * 31) % 256) % 192 END AS h,
-             -- decoded-stream length: 3wh pixel bytes for ALL real
-             -- codecs (JPEG gray replicates to RGB); identity decode
-             -- (n raw bytes) for pseudo-payloads
+      SELECT media_ref, media_kind, n, seed, bw, bh, codec, tc, tr,
+             CASE WHEN media_kind = 'image' THEN bw ELSE tc END AS w,
+             CASE WHEN media_kind = 'image' THEN bh ELSE tr END AS h,
+             -- decoded-stream length: 3wh pixel bytes for ALL image
+             -- codecs (JPEG gray replicates to RGB); the concatenated
+             -- cell-text bytes (slen) for table containers
              CASE WHEN media_kind = 'image' THEN 3 * bw * bh
-                  ELSE n END AS npx
+                  ELSE slen END AS npx
       FROM sized
     ),
     scaled AS (
@@ -1241,30 +1369,57 @@ def oracle_media_transforms() -> str:
                   ELSE h * {RESIZE_MAX_DIM} // greatest(w, h) END AS nh
       FROM dims
     ),
-    frames AS (
+    iframes AS (
       -- frame sampling runs over the DECODED stream (r6): decoded pixel
       -- byte k of BMP/PNG/GIF is (seed + 7k) % 256 — the codec (BMP
       -- headers, PNG deflate/CRC framing, GIF LZW) disappears on decode
       -- — and JPEG rows follow the flat-block law (gray of raster block
-      -- = 144 + seed%16 + block index, RGB-replicated). table
-      -- pseudo-payload byte i is (seed + 31i) % 256 (identity decode).
-      -- Rows with npx < FRAME_BYTES have no complete frame and no row
-      -- here — the LEFT JOIN below keeps them with checksum 0.
+      -- = 144 + seed%16 + block index, RGB-replicated). Rows with npx <
+      -- FRAME_BYTES have no complete frame and no row here — the LEFT
+      -- JOIN below keeps them with checksum 0.
       SELECT d.media_ref,
              CAST(sum(CASE
                    WHEN (u.i // {FRAME_BYTES}) % {FRAME_STRIDE} = 0
-                     THEN CASE WHEN d.media_kind = 'image' AND d.codec = 'jpeg'
+                     THEN CASE WHEN d.codec = 'jpeg'
                                THEN 144 + d.seed % 16
                                     + ((u.i // 3) // d.bw // 8) * (d.bw // 8)
                                     + ((u.i // 3) % d.bw) // 8
-                               WHEN d.media_kind = 'image'
-                               THEN (d.seed + 7 * u.i) % 256
-                               ELSE (d.seed + u.i * 31) % 256 END
+                               ELSE (d.seed + 7 * u.i) % 256 END
                    ELSE 0 END) AS BIGINT) AS sample_checksum
       FROM dims d, unnest(range(2048)) AS u(i)
-      WHERE u.i < (d.npx // {FRAME_BYTES}) * {FRAME_BYTES}
-      GROUP BY d.media_ref, d.media_kind, d.npx, d.seed, d.codec, d.bw
-    )
+      WHERE d.media_kind = 'image'
+        AND u.i < (d.npx // {FRAME_BYTES}) * {FRAME_BYTES}
+      GROUP BY d.media_ref, d.npx, d.seed, d.codec, d.bw
+    ),
+    tcell AS (
+      -- table rows: the decoded stream is variable-length cells, so the
+      -- byte positions come from a cumulative offset over cell lengths
+      SELECT d.media_ref, d.npx, u.k AS k,
+             (d.seed + 7 * u.k) % 100 AS val,
+             CASE WHEN (d.seed + 7 * u.k) % 100 < 10 THEN 2 ELSE 3 END AS clen
+      FROM dims d, unnest(range(128)) AS u(k)
+      WHERE d.media_kind = 'table' AND u.k < d.w * d.h
+    ),
+    tpos AS (
+      SELECT media_ref, npx, val, clen,
+             coalesce(sum(clen) OVER (PARTITION BY media_ref ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off0
+      FROM tcell
+    ),
+    tframes AS (
+      SELECT media_ref,
+             CAST(sum(CASE
+                   WHEN ((off0 + p.i) // {FRAME_BYTES}) % {FRAME_STRIDE} = 0
+                     THEN CASE p.i WHEN 0 THEN 118
+                          WHEN 1 THEN CASE WHEN val < 10 THEN 48 + val
+                                           ELSE 48 + val // 10 END
+                          ELSE 48 + val % 10 END
+                   ELSE 0 END) AS BIGINT) AS sample_checksum
+      FROM tpos, unnest(range(3)) AS p(i)
+      WHERE p.i < clen AND off0 + p.i < (npx // {FRAME_BYTES}) * {FRAME_BYTES}
+      GROUP BY media_ref
+    ),
+    frames AS (SELECT * FROM iframes UNION ALL SELECT * FROM tframes)
     SELECT d.media_ref, CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
            CAST(d.nw AS INTEGER) AS new_width, CAST(d.nh AS INTEGER) AS new_height,
            CAST(greatest(1, d.n * (d.nw * d.nh) // (d.w * d.h)) AS BIGINT) AS n_bytes_resized,

@@ -738,3 +738,91 @@ def test_transform_media_handles_jpeg(spark, sf_dir):
         assert (r["width"], r["height"]) == (w, h)
         assert r["n_frames"] == len(px) // 64
     assert n_jpg > 0
+
+
+# ---------------------------------------------------------------------------
+# table containers (r6: table-kind media upgraded from pseudo-bytes to
+# REAL CSV files parsed by the stdlib csv module)
+# ---------------------------------------------------------------------------
+def test_table_csv_roundtrip_and_laws():
+    """Fixture tables round-trip through the real csv parser and obey
+    the closed forms the oracle mirrors: dims (1+seed%6, 2+seed%12),
+    cell k = 'v' + str((seed+7k)%100), file = stream + rows*cols
+    separator bytes."""
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_table_cells,
+        _encode_table_csv,
+    )
+
+    for seed in range(300):
+        b = _encode_table_csv(seed)
+        w, h, stream = _decode_table_cells(b)
+        assert (w, h) == (1 + seed % 6, 2 + seed % 12)
+        exp = "".join("v%d" % ((seed + 7 * k) % 100) for k in range(w * h)).encode()
+        assert stream == exp
+        assert len(b) == len(stream) + w * h
+
+
+def test_table_csv_parser_is_general():
+    """The decoder is a GENERAL csv parser, not the fixture's quote-free
+    subset: quoted fields with embedded commas, newlines, and doubled
+    quotes parse to the exact cell contents."""
+    import csv
+    import io
+
+    from docling_fast_server_spark.operators.multimodal import _decode_table_cells
+
+    rows = [["a,b", 'say "hi"', "multi\nline"], ["plain", "", "x"]]
+    buf = io.StringIO()
+    csv.writer(buf, lineterminator="\n").writerows(rows)
+    w, h, stream = _decode_table_cells(buf.getvalue().encode())
+    assert (w, h) == (3, 2)
+    assert stream == "".join(c for r in rows for c in r).encode()
+
+
+def test_table_csv_malformed_always_valueerror():
+    """Degrade contract: non-UTF-8, empty, and ragged containers raise
+    ValueError. (CSV carries no checksum, so corruption that still
+    parses rectangular is indistinguishable from data — same documented
+    boundary as JPEG's uncheckedsummed entropy stream.)"""
+    import pytest as _pytest
+
+    from docling_fast_server_spark.operators.multimodal import _decode_table_cells
+
+    for bad in (b"", b"\xff\xfe\x00junk", b"a,b\nc\n", b"a,b\n\n"):
+        with _pytest.raises(ValueError):
+            _decode_table_cells(bad)
+
+
+def test_real_table_decode_path(spark, sf_dir):
+    """table-kind media rows are REAL CSV containers: features come from
+    a genuine csv parse (width = cols, height = rows, checksum = sum of
+    decoded cell bytes), dispatched on the typed media_kind column."""
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_table_cells,
+        extract_media_features,
+        transform_media,
+    )
+    from docling_fast_server_spark.queries import extract_all
+
+    media = synthesize_media_table(spark, extract_all(spark, sf_dir))
+    tbl = media.filter("media_kind = 'table'")
+    rows = tbl.collect()
+    assert rows, "expected table-kind media rows"
+    feats = {
+        r["media_ref"]: (r["width"], r["height"], r["checksum"])
+        for r in extract_media_features(media).collect()
+        if r["media_kind"] == "table"
+    }
+    for r in rows:
+        w, h, stream = _decode_table_cells(bytes(r["payload"]))
+        seed = sum(r["media_ref"].encode())
+        assert (w, h) == (1 + seed % 6, 2 + seed % 12)
+        assert feats[r["media_ref"]] == (w, h, sum(stream))
+    # transforms read the decoded cell stream, not the container
+    t = {r["media_ref"]: r for r in transform_media(tbl).collect()}
+    for r in rows:
+        w, h, stream = _decode_table_cells(bytes(r["payload"]))
+        tr = t[r["media_ref"]]
+        assert (tr["width"], tr["height"]) == (w, h)
+        assert tr["n_frames"] == len(stream) // 64
