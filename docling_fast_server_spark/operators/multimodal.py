@@ -889,7 +889,12 @@ def _decode_table_cells(b: bytes) -> tuple[int, int, bytes]:
         text = bytes(b).decode("utf-8")
     except UnicodeDecodeError as e:
         raise ValueError("table payload is not valid UTF-8") from e
-    rows = list(_csv.reader(_io.StringIO(text)))
+    try:
+        rows = list(_csv.reader(_io.StringIO(text)))
+    except _csv.Error as e:  # e.g. a bare \r in an unquoted field —
+        # found by the whole-file mutation fuzz; the parser's own error
+        # type must not escape the documented ValueError contract
+        raise ValueError(f"malformed CSV table: {e}") from e
     if not rows:
         raise ValueError("empty table payload")
     ncols = len(rows[0])

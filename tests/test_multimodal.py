@@ -789,7 +789,14 @@ def test_table_csv_malformed_always_valueerror():
 
     from docling_fast_server_spark.operators.multimodal import _decode_table_cells
 
-    for bad in (b"", b"\xff\xfe\x00junk", b"a,b\nc\n", b"a,b\n\n"):
+    for bad in (
+        b"",
+        b"\xff\xfe\x00junk",
+        b"a,b\nc\n",
+        b"a,b\n\n",
+        b"a\rb,c\n",  # bare \r in an unquoted field: csv.Error must be
+        # re-raised as ValueError (found by the mutation fuzz)
+    ):
         with _pytest.raises(ValueError):
             _decode_table_cells(bad)
 
