@@ -1338,12 +1338,12 @@ def transform_media(
 
 
 def q_media_transforms(spark, sf_dir):
-    """Resize/frame-sample over EVERY media row — BMP, PNG, GIF, JPEG,
-    and raw pseudo-payloads alike. Since r6 the frame sampler reads the
+    """Resize/frame-sample over EVERY media row — BMP, PNG, GIF, JPEG
+    images and CSV tables alike. Since r6 the frame sampler reads the
     DECODED stream (transform_media), whose bytes are closed-form for
-    every codec, so the DuckDB oracle value-checks the full table with
-    no format sniffing (r5 verdict item 3; the r5 query filtered PNGs
-    out by magic because file-domain sampling hit their CRC/adler
+    every container, so the DuckDB oracle value-checks the full table
+    with no format sniffing (r5 verdict item 3; the r5 query filtered
+    PNGs out by magic because file-domain sampling hit their CRC/adler
     words)."""
     from ..queries import extract_all
 
