@@ -1011,6 +1011,8 @@ def _decode_by_kind(pdf: pd.DataFrame, image_fn, table_fn) -> pd.DataFrame:
         parts.append(
             table_fn(pdf.loc[~is_img, "payload"]).set_index(pdf.index[~is_img])
         )
+    if not parts:  # zero-row Arrow batch: pd.concat([]) would raise
+        return image_fn(pdf["payload"])
     return pd.concat(parts).loc[pdf.index]
 
 

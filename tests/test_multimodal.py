@@ -833,3 +833,20 @@ def test_real_table_decode_path(spark, sf_dir):
         tr = t[r["media_ref"]]
         assert (tr["width"], tr["height"]) == (w, h)
         assert tr["n_frames"] == len(stream) // 64
+
+
+def test_decode_by_kind_empty_batch():
+    """A zero-row Arrow batch must yield an empty, correctly-columned
+    frame (pd.concat of no parts raises — regression guard)."""
+    import pandas as pd
+
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_by_kind,
+        _decode_image_batch,
+        _decode_table_batch,
+    )
+
+    empty = pd.DataFrame({"media_kind": [], "payload": []})
+    out = _decode_by_kind(empty, _decode_image_batch, _decode_table_batch)
+    assert len(out) == 0
+    assert list(out.columns) == ["width", "height", "checksum"]
