@@ -117,7 +117,10 @@ class _TreeBuilder(HTMLParser):
             self._cur.children.append(data)
 
 
-_WS_RE = re.compile(r"\s+")
+# whitespace collapse is `" ".join(s.split())` throughout: str.split()
+# splits on exactly the \s character class (verified over the Unicode
+# whitespace set), and the C-level split/join is ~4x faster than
+# re.sub(r"\s+") on corpus-shaped text
 
 
 def _text_of(node: _Node) -> str:
@@ -131,7 +134,7 @@ def _text_of(node: _Node) -> str:
                 walk(c)
 
     walk(node)
-    return _WS_RE.sub(" ", "".join(out)).strip()
+    return " ".join("".join(out).split())
 
 
 def _text_and_links(node: _Node) -> tuple[str, int]:
@@ -157,7 +160,7 @@ def _text_and_links(node: _Node) -> tuple[str, int]:
             continue
         for c in reversed(n.children):
             stack.append((c, in_a or (not isinstance(c, str) and c.tag == "a")))
-    return _WS_RE.sub(" ", "".join(out)).strip(), links
+    return " ".join("".join(out).split()), links
 
 
 def _caps_ratio(text: str) -> float:
@@ -389,7 +392,7 @@ def _stream_extract(html: str, doc_num: int) -> list[dict]:
         """Classify the finished capture; append the span it yields."""
         nonlocal cell_parts, dt_parts, dd_parts
         if cell_parts is not None:  # unclosed cell at block end
-            cells.append(_WS_RE.sub(" ", "".join(cell_parts)).strip())
+            cells.append(" ".join("".join(cell_parts).split()))
             cell_parts = None
         if dt_parts is not None or dd_parts is not None:
             _finish_item()
@@ -399,7 +402,7 @@ def _stream_extract(html: str, doc_num: int) -> list[dict]:
                 {"kind": K_PICTURE, "text": None, "media_ref": src, "offset": len(spans)}
             )
             return
-        text = _WS_RE.sub(" ", "".join(parts)).strip()
+        text = " ".join("".join(parts).split())
         is_heading = cap_tag in _HEADING_TAGS
         screen = text or "x"
         if links / len(screen) > _LINK_DENSITY_MAX:
@@ -441,10 +444,10 @@ def _stream_extract(html: str, doc_num: int) -> list[dict]:
         """Close an open first-direct dt/dd collection."""
         nonlocal dt_parts, dd_parts, dt_txt, dd_txt
         if dt_parts is not None:
-            dt_txt = _WS_RE.sub(" ", "".join(dt_parts)).strip()
+            dt_txt = " ".join("".join(dt_parts).split())
             dt_parts = None
         if dd_parts is not None:
-            dd_txt = _WS_RE.sub(" ", "".join(dd_parts)).strip()
+            dd_txt = " ".join("".join(dd_parts).split())
             dd_parts = None
 
     # ONE C-level split tokenizes the whole document: the resulting flat
@@ -506,7 +509,7 @@ def _stream_extract(html: str, doc_num: int) -> list[dict]:
                     if popped == "a" and a_depth:
                         a_depth -= 1
                     if cell_parts is not None and len(stack) <= cell_base:
-                        cells.append(_WS_RE.sub(" ", "".join(cell_parts)).strip())
+                        cells.append(" ".join("".join(cell_parts).split()))
                         cell_parts = None
                     elif (dt_parts is not None or dd_parts is not None) and len(
                         stack
