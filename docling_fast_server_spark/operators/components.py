@@ -1,0 +1,211 @@
+"""Connected components + cluster reduction for the dedup family.
+
+Pair lists are not actionable on their own: to actually DROP duplicates
+a pipeline needs one representative per near-dup CLUSTER, i.e. the
+connected components of the verified-pair graph (A~B and B~C must
+collapse to one survivor even when A~C was never emitted as a pair).
+Reference analog: the reference keeps exactly one job per content hash
+(/root/reference/src/services/queue_manager.py:917-929
+find_duplicate_job); this operator is the transitive closure of that
+rule over the near-dup relation at corpus scale.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii, "Connected Components in MapReduce
+and Beyond", ACM SoCC'14 — the algorithm behind GraphFrames/GraphX CC).
+Edge-list-only: every round is one map-side-combinable groupBy(min)
+plus one join over (id, id) edges, converging in O(log^2 n) rounds.
+There is no vertex-centric state, no driver-side graph and no collect;
+the driver loop iterates over ROUNDS, never rows, so the operator
+scales to 10^12 edges exactly as far as a groupBy/join does.
+
+Memory/lineage discipline for the iteration — the part that makes
+iterative DataFrame algorithms viable at all: each round references
+the previous round's frame a constant >1 number of times (the
+symmetric-view union + the min join), so WITHOUT truncation the
+logical plan grows exponentially in rounds and Catalyst analysis —
+not the data — becomes the bottleneck within ~6 cycles. Every round
+is therefore eagerly truncated: `localCheckpoint` by default
+(materialized blocks, plan cut to a leaf), upgraded to a RELIABLE
+`checkpoint` every `checkpoint_interval` rounds when a checkpoint
+directory is configured (sc.setCheckpointDir on any durable FS — the
+production path, bounding recovery on executor loss; GraphFrames'
+CC applies the same periodic-checkpoint discipline). The previous
+round is unpersisted after its successor materializes, so peak
+footprint is two narrow (id, id) edge frames.
+
+Convergence detection: the canonical edge set is a fixpoint of the
+large+small cycle iff it is a union of min-rooted stars (the paper's
+Theorem 1-3), so the loop stops when one full cycle leaves the edge
+fingerprint (count, sum of murmur3(u, v)) unchanged. The fingerprint is
+deterministic and one-pass; a false stop needs two DIFFERENT distinct
+edge sets with equal count and equal 64-bit hash sum mid-run —
+negligible and non-adversarial here, and `max_rounds` still bounds the
+loop loudly (RuntimeError, never a silent partial answer).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import MINHASH_BUCKET_CAP, _register_cache, minhash_pairs, mutated_corpus
+
+
+def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """(u, v) with u > v, self-loops dropped, distinct."""
+    return (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Emit (v, min(N(u) ∪ {u})) for every neighbor v > u, over the
+    symmetric neighborhood view. Output stays canonical (big, small):
+    v > u and m <= u, so v > m always."""
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("mn"), F.col("u")).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """For each node u over its strictly-smaller neighbors N (input is
+    canonical so N = all v), m = min(N): relink every v in N \\ {m} and
+    u itself to m. Output edges all satisfy left > m, so canonical form
+    is preserved."""
+    mins = e.groupBy("u").agg(F.min("v").alias("mn"))
+    relink = (
+        e.join(mins, "u")
+        .where(F.col("v") != F.col("mn"))
+        .select(F.col("v").alias("u"), F.col("mn").alias("v"))
+    )
+    self_link = mins.select("u", F.col("mn").alias("v"))
+    return relink.unionAll(self_link).distinct()
+
+
+def _fingerprint(e: DataFrame) -> tuple:
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("s"),
+    ).head()
+    return (row["n"], row["s"])
+
+
+def cc_fixpoint(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+    checkpoint_interval: int = 5,
+) -> tuple[DataFrame, int]:
+    """Run large/small-star to the star-graph fixpoint. Returns the
+    final (u=member, v=component-root) edge frame — persisted — and the
+    number of full cycles executed (exposed for the convergence tests).
+    Raises RuntimeError if max_rounds cycles do not converge."""
+    sc = edges.sparkSession.sparkContext
+    has_ckpt = sc.getCheckpointDir() is not None
+    cur = _canonical(edges, src, dst).localCheckpoint(eager=True)
+    cur_fp = _fingerprint(cur)
+    for rounds in range(1, max_rounds + 1):
+        nxt = _small_star(_large_star(cur))
+        # eager truncation every round (see module docstring): reliable
+        # checkpoint on the interval when a dir is configured, local
+        # otherwise — both cut the plan to a materialized leaf.
+        if has_ckpt and rounds % checkpoint_interval == 0:
+            nxt = nxt.checkpoint(eager=True)
+        else:
+            nxt = nxt.localCheckpoint(eager=True)
+        nxt_fp = _fingerprint(nxt)
+        cur.unpersist()
+        converged = nxt_fp == cur_fp
+        cur, cur_fp = nxt, nxt_fp
+        if converged:
+            return _register_cache(cur), rounds
+    cur.unpersist()
+    raise RuntimeError(
+        f"connected components did not converge in {max_rounds} rounds"
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges`, where
+    component = the minimum node id reachable from it. Nodes whose only
+    edges are self-loops are their own component. Works for any
+    orderable id type (the tests run int64; string ids order
+    lexicographically)."""
+    stars, _ = cc_fixpoint(edges, src, dst, max_rounds, checkpoint_interval)
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionAll(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    members = stars.select(F.col("u").alias("node"), F.col("v").alias("cmp"))
+    return (
+        nodes.join(members, "node", "left")
+        .groupBy("node")
+        .agg(F.min(F.coalesce(F.col("cmp"), F.col("node"))).alias("component"))
+    )
+
+
+def dedup_clusters(
+    spark, sf_dir: str, bucket_cap: int = MINHASH_BUCKET_CAP
+) -> DataFrame:
+    """Cluster assignment for EVERY document of the mutated near-dup
+    corpus: (doc_id, component) with component = min doc_id of the
+    document's near-dup cluster (minhash-LSH pairs, Jaccard-verified,
+    skew-guarded) and singletons mapping to themselves. The end-to-end
+    'which docs do I keep' operator: survivors are doc_id == component."""
+    corpus = mutated_corpus(spark, sf_dir)
+    pairs = minhash_pairs(corpus, bucket_cap)
+    labels = connected_components(pairs)
+    return (
+        corpus.select(F.col("doc_id").alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("component"), F.col("node")).alias("component"),
+        )
+    )
+
+
+def dedup_survivors(
+    spark, sf_dir: str, bucket_cap: int = MINHASH_BUCKET_CAP
+) -> DataFrame:
+    """One representative document per near-dup cluster (the min
+    doc_id), i.e. the corpus a training pipeline would keep."""
+    return (
+        dedup_clusters(spark, sf_dir, bucket_cap)
+        .where(F.col("doc_id") == F.col("component"))
+        .select("doc_id")
+    )
+
+
+def cluster_stats(labels: DataFrame) -> DataFrame:
+    """Lineage-style metrics over a (doc_id, component) assignment:
+    total docs, cluster count, docs dropped by keep-min-per-cluster,
+    and the largest cluster size (the skew tripwire a pipeline surfaces
+    next to bucket_tripwire())."""
+    per = labels.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return per.agg(
+        F.sum("sz").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.sum("sz") - F.count(F.lit(1))).alias("n_dropped"),
+        F.max("sz").alias("max_cluster_size"),
+    )

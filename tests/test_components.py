@@ -1,0 +1,171 @@
+"""Connected components (large-star/small-star) vs a DuckDB
+recursive-closure oracle, plus the dedup_clusters end-to-end reduction.
+
+The registry is capped at 50 driver-gated queries, so this family is
+pytest-gated the same way bucket_tripwire is: the oracle lives inside
+the test (DuckDB WITH RECURSIVE min-label closure over the identical
+edge list), which checks VALUES, not just row counts — stronger than
+the driver's rows-only fallback for iterative operators.
+"""
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from docling_fast_server_spark.operators import components, dedup
+
+
+def _oracle_cc(edge_rows):
+    """Min-reachable-label closure in DuckDB over [(u, v), ...]."""
+    con = duckdb.connect()
+    con.register("edges_in", pd.DataFrame(edge_rows, columns=["a", "b"]))
+    out = con.execute(
+        """
+        WITH RECURSIVE
+        sym AS (
+            SELECT a AS u, b AS v FROM edges_in
+            UNION
+            SELECT b, a FROM edges_in
+        ),
+        nodes AS (SELECT DISTINCT u AS node FROM sym),
+        cc(node, lbl) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT s.v, cc.lbl FROM cc JOIN sym s ON s.u = cc.node
+        )
+        SELECT node, MIN(lbl) AS component FROM cc
+        GROUP BY node ORDER BY node
+        """
+    ).fetchall()
+    con.close()
+    return sorted((int(n), int(c)) for n, c in out)
+
+
+def _spark_cc(spark, edge_rows, **kw):
+    df = spark.createDataFrame(
+        pd.DataFrame(edge_rows, columns=["doc_a", "doc_b"])
+    )
+    try:
+        got = components.connected_components(df, **kw).collect()
+    finally:
+        dedup.clear_caches(spark)
+    return sorted((int(r["node"]), int(r["component"])) for r in got)
+
+
+def test_cc_matches_oracle_on_pseudo_random_graph(spark):
+    """300-node multigraph from a fixed formula: duplicate edges, both
+    orientations, self loops, several components and isolated
+    self-loop-only nodes."""
+    edges = [((i * 7919) % 300, (i * 104729) % 300) for i in range(180)]
+    edges += [(b, a) for a, b in edges[:40]]  # reversed duplicates
+    edges += [(n, n) for n in (900, 901)]  # self-loop-only nodes
+    assert _spark_cc(spark, edges) == _oracle_cc(edges)
+
+
+def test_cc_chain_worst_diameter(spark):
+    """A 400-node path is the diameter worst case for label
+    propagation; large/small-star must still collapse it to one
+    min-rooted star in O(log^2 n) cycles, not O(n)."""
+    edges = [(i, i + 1) for i in range(400)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    try:
+        stars, rounds = components.cc_fixpoint(df)
+        labels = sorted(
+            (r["u"], r["v"]) for r in stars.collect()
+        )
+    finally:
+        dedup.clear_caches(spark)
+    assert rounds <= 12, rounds
+    assert labels == [(i, 0) for i in range(1, 401)]
+
+
+def test_cc_clique_star_and_empty(spark):
+    clique = [(a, b) for a in range(20) for b in range(a + 1, 20)]
+    assert _spark_cc(spark, clique) == [(i, 0) for i in range(20)]
+    star = [(7, v) for v in range(8, 40)]
+    assert _spark_cc(spark, star) == _oracle_cc(star)
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    try:
+        assert components.connected_components(empty).count() == 0
+    finally:
+        dedup.clear_caches(spark)
+
+
+def test_cc_orientation_and_duplication_invariant(spark):
+    """The answer is a property of the relation, not the edge-list
+    encoding: reversing and duplicating every edge changes nothing."""
+    base = [((i * 31) % 97, (i * 57) % 97) for i in range(60)]
+    noisy = base + [(b, a) for a, b in base] + base
+    assert _spark_cc(spark, base) == _spark_cc(spark, noisy)
+
+
+def test_cc_checkpoint_path(spark, tmp_path):
+    """With a checkpoint dir configured (the production setting) the
+    periodic reliable checkpoint engages and the result is unchanged."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        edges = [(i, i + 1) for i in range(120)]
+        got = _spark_cc(spark, edges, checkpoint_interval=2)
+        assert got == [(i, 0) for i in range(121)]
+    finally:
+        try:  # reset the session-scoped context for the rest of the suite
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty()
+            )
+        except Exception:
+            pass  # leave it set; nothing else in the suite checkpoints
+
+
+def test_cc_nonconvergence_is_loud(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(50)],
+                     columns=["doc_a", "doc_b"])
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        try:
+            components.cc_fixpoint(df, max_rounds=1)
+        finally:
+            dedup.clear_caches(spark)
+
+
+def test_dedup_clusters_end_to_end(spark, sf_dir):
+    """dedup_clusters over the mutated near-dup corpus == DuckDB
+    closure over the SAME verified pair set, extended with singleton
+    self-assignment; survivors are exactly the per-cluster minima."""
+    corpus = dedup.mutated_corpus(spark, sf_dir)
+    try:
+        pair_rows = [
+            (int(r["doc_a"]), int(r["doc_b"]))
+            for r in dedup.minhash_pairs(corpus).collect()
+        ]
+        doc_ids = [int(r["doc_id"]) for r in corpus.select("doc_id").collect()]
+        got = sorted(
+            (int(r["doc_id"]), int(r["component"]))
+            for r in components.dedup_clusters(spark, sf_dir).collect()
+        )
+        survivors = sorted(
+            int(r["doc_id"])
+            for r in components.dedup_survivors(spark, sf_dir).collect()
+        )
+        stats = components.cluster_stats(
+            components.dedup_clusters(spark, sf_dir)
+        ).head()
+    finally:
+        dedup.clear_caches(spark)
+
+    oracle = dict(_oracle_cc(pair_rows))
+    expected = sorted((d, oracle.get(d, d)) for d in doc_ids)
+    assert got == expected
+    comp_of = dict(expected)
+    assert survivors == sorted({c for c in comp_of.values()})
+    assert stats["n_docs"] == len(doc_ids)
+    assert stats["n_clusters"] == len(set(comp_of.values()))
+    assert stats["n_dropped"] == len(doc_ids) - stats["n_clusters"]
+    sizes = pd.Series(list(comp_of.values())).value_counts()
+    assert stats["max_cluster_size"] == int(sizes.max())
+    # the corpus construction guarantees real multi-member clusters
+    assert stats["n_dropped"] > 0
