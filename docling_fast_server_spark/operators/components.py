@@ -197,6 +197,37 @@ def dedup_survivors(
     )
 
 
+def update_clusters(
+    labels: DataFrame,
+    new_edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 50,
+    checkpoint_interval: int = 5,
+) -> DataFrame:
+    """Incremental cluster maintenance: fold newly discovered near-dup
+    pairs into an existing (node, component) assignment WITHOUT
+    re-clustering the corpus. An assignment is itself a star edge list
+    (node -> component, singletons as self-loops), and stars preserve
+    connectivity, so components(stars(G) ∪ E_new) == components(G ∪
+    E_new); large/small-star over that union re-converges in one or two
+    cycles because the old mass is already star-shaped. At 10^12 docs
+    this is the difference between touching the delta and re-running
+    the full closure — the batch analog of the reference registering
+    each arriving job against the existing content-hash index
+    (queue_manager.py:917-929) rather than rescanning the job table."""
+    prev = labels.select(
+        F.col("node").alias(src), F.col("component").alias(dst)
+    )
+    return connected_components(
+        prev.unionByName(new_edges.select(src, dst)),
+        src,
+        dst,
+        max_rounds,
+        checkpoint_interval,
+    )
+
+
 def cluster_stats(labels: DataFrame) -> DataFrame:
     """Lineage-style metrics over a (doc_id, component) assignment:
     total docs, cluster count, docs dropped by keep-min-per-cluster,

@@ -132,6 +132,45 @@ def test_cc_nonconvergence_is_loud(spark):
             dedup.clear_caches(spark)
 
 
+def test_update_clusters_incremental_equals_batch(spark):
+    """Folding a delta into an existing assignment == re-clustering the
+    unioned edge set, including when the delta bridges two old clusters
+    and introduces brand-new nodes; the incremental run re-converges in
+    a couple of cycles because the old mass is already star-shaped."""
+    old = [(i, i + 1) for i in range(0, 50)]  # one big chain 0..50
+    old += [(i, i + 1) for i in range(100, 120)]  # second cluster
+    old += [(n, n) for n in (500, 501)]  # singletons ride as self-loops
+    delta = [(50, 100), (501, 502), (900, 901)]  # bridge, grow, new
+    labels_old = spark.createDataFrame(
+        pd.DataFrame(old, columns=["doc_a", "doc_b"])
+    )
+    try:
+        prev = components.connected_components(labels_old)
+        upd = components.update_clusters(
+            prev,
+            spark.createDataFrame(
+                pd.DataFrame(delta, columns=["doc_a", "doc_b"])
+            ),
+        )
+        got = sorted(
+            (int(r["node"]), int(r["component"])) for r in upd.collect()
+        )
+        # incremental convergence is fast: the union of stars + 3 edges
+        # must fix in far fewer cycles than the original chain needed
+        prev_edges = prev.select(
+            F.col("node").alias("doc_a"), F.col("component").alias("doc_b")
+        ).unionByName(
+            spark.createDataFrame(
+                pd.DataFrame(delta, columns=["doc_a", "doc_b"])
+            )
+        )
+        _, rounds = components.cc_fixpoint(prev_edges)
+    finally:
+        dedup.clear_caches(spark)
+    assert got == _oracle_cc(old + delta)
+    assert rounds <= 3, rounds
+
+
 def test_dedup_clusters_end_to_end(spark, sf_dir):
     """dedup_clusters over the mutated near-dup corpus == DuckDB
     closure over the SAME verified pair set, extended with singleton
