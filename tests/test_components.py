@@ -118,6 +118,53 @@ def test_cc_checkpoint_path(spark, tmp_path):
             pass  # leave it set; nothing else in the suite checkpoints
 
 
+def test_cc_plan_is_constant_size_across_rounds(spark):
+    """The make-or-break property of the iterative loop: every round is
+    eagerly truncated, so the returned frame's plan is a materialized
+    leaf — NOT a tree that grew by a constant factor per round. Without
+    truncation a 400-node chain (more rounds) would carry an
+    exponentially larger plan than a 50-node one and Catalyst analysis,
+    not data, would dominate."""
+    plans = {}
+    for n in (50, 400):
+        df = spark.createDataFrame(
+            pd.DataFrame([(i, i + 1) for i in range(n)],
+                         columns=["doc_a", "doc_b"])
+        )
+        try:
+            stars, rounds = components.cc_fixpoint(df)
+            plan = stars._jdf.queryExecution().analyzed().toString()
+        finally:
+            dedup.clear_caches(spark)
+        assert rounds >= 2
+        assert "Join" not in plan, plan
+        assert len(plan) < 2000, len(plan)
+        plans[n] = len(plan)
+    # plan size is independent of how many rounds ran
+    assert abs(plans[400] - plans[50]) < 200, plans
+
+
+def test_cc_hypothesis_differential_vs_oracle(spark):
+    """Seeded random multigraphs (hypothesis) vs the DuckDB closure —
+    few examples because each runs real Spark jobs; shapes cover dense
+    overlap, multi-edges and isolated nodes."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    edge = st.tuples(st.integers(0, 25), st.integers(0, 25))
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=st.lists(edge, min_size=1, max_size=40))
+    def check(edges):
+        assert _spark_cc(spark, edges) == _oracle_cc(edges)
+
+    check()
+
+
 def test_cc_nonconvergence_is_loud(spark):
     import pytest
 
