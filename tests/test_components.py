@@ -118,6 +118,26 @@ def test_cc_checkpoint_path(spark, tmp_path):
             pass  # leave it set; nothing else in the suite checkpoints
 
 
+def test_cc_string_ids(spark):
+    """The docstring's claim: any orderable id type works; string ids
+    order lexicographically (doc-id style keys)."""
+    edges = [("doc-003", "doc-001"), ("doc-001", "doc-002"),
+             ("doc-010", "doc-011"), ("doc-020", "doc-020")]
+    df = spark.createDataFrame(edges, "doc_a string, doc_b string")
+    try:
+        got = sorted(
+            (r["node"], r["component"])
+            for r in components.connected_components(df).collect()
+        )
+    finally:
+        dedup.clear_caches(spark)
+    assert got == [
+        ("doc-001", "doc-001"), ("doc-002", "doc-001"),
+        ("doc-003", "doc-001"), ("doc-010", "doc-010"),
+        ("doc-011", "doc-010"), ("doc-020", "doc-020"),
+    ]
+
+
 def test_cc_plan_is_constant_size_across_rounds(spark):
     """The make-or-break property of the iterative loop: every round is
     eagerly truncated, so the returned frame's plan is a materialized
