@@ -47,7 +47,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import MINHASH_BUCKET_CAP, _register_cache, minhash_pairs, mutated_corpus
+from .dedup import (
+    MINHASH_BUCKET_CAP,
+    _register_handle,
+    minhash_pairs,
+    mutated_corpus,
+)
 
 
 def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -94,6 +99,19 @@ def _small_star(e: DataFrame) -> DataFrame:
     return relink.unionAll(self_link).distinct()
 
 
+def _ckpt_release(df: DataFrame) -> None:
+    """Free the blocks a (local)checkpointed frame pinned. df.unpersist
+    releases only CacheManager entries, NOT the checkpoint RDD's
+    storage, so a naive loop would accumulate one round of blocks per
+    iteration until the context cleaner happens to run — the
+    truncated plan is a LogicalRDD whose rdd() handle unpersists them
+    directly."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        df.unpersist()  # not a checkpointed plan (or JVM gone)
+
+
 def _fingerprint(e: DataFrame) -> tuple:
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
@@ -110,9 +128,10 @@ def cc_fixpoint(
     checkpoint_interval: int = 5,
 ) -> tuple[DataFrame, int]:
     """Run large/small-star to the star-graph fixpoint. Returns the
-    final (u=member, v=component-root) edge frame — persisted — and the
-    number of full cycles executed (exposed for the convergence tests).
-    Raises RuntimeError if max_rounds cycles do not converge."""
+    final (u=member, v=component-root) edge frame — materialized, its
+    blocks registered for clear_caches release — and the number of full
+    cycles executed (exposed for the convergence tests). Raises
+    RuntimeError if max_rounds cycles do not converge."""
     sc = edges.sparkSession.sparkContext
     has_ckpt = sc.getCheckpointDir() is not None
     cur = _canonical(edges, src, dst).localCheckpoint(eager=True)
@@ -127,12 +146,23 @@ def cc_fixpoint(
         else:
             nxt = nxt.localCheckpoint(eager=True)
         nxt_fp = _fingerprint(nxt)
-        cur.unpersist()
+        _ckpt_release(cur)
         converged = nxt_fp == cur_fp
         cur, cur_fp = nxt, nxt_fp
         if converged:
-            return _register_cache(cur), rounds
-    cur.unpersist()
+            # the fixpoint frame's blocks are released by clear_caches;
+            # being lineage-truncated they are NOT recomputable after
+            # that, so consume the result before clearing (the standard
+            # registry contract)
+            try:
+                _register_handle(
+                    edges.sparkSession,
+                    cur._jdf.queryExecution().analyzed().rdd(),
+                )
+            except Exception:
+                pass  # reliable-checkpoint plans hold no storage blocks
+            return cur, rounds
+    _ckpt_release(cur)
     raise RuntimeError(
         f"connected components did not converge in {max_rounds} rounds"
     )

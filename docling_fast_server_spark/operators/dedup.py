@@ -223,11 +223,12 @@ def _prune_stopped() -> None:
             _LIVE_CACHES.pop(sess, None)
 
 
-def _register_cache(df: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
-
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
-    sess = df.sparkSession
+def _register_handle(sess, handle) -> None:
+    """Register any JVM handle exposing unpersist(boolean) for
+    clear_caches-driven release — Datasets here; components.py also
+    routes its truncated-lineage checkpoint RDDs through this (their
+    blocks are NOT recomputable after release, so the same consume-
+    before-clear contract applies)."""
     with _CACHES_LOCK:
         _prune_stopped()
         handles = _LIVE_CACHES.get(sess)
@@ -237,7 +238,14 @@ def _register_cache(df: DataFrame) -> DataFrame:
             # fires when the session object is garbage-collected (the
             # abandoned-without-stop case); captures only the list
             _weakref.finalize(sess, _unpersist_handles, handles)
-        handles.append(df._jdf)
+        handles.append(handle)
+
+
+def _register_cache(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _register_handle(df.sparkSession, df._jdf)
     return df
 
 

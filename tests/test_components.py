@@ -185,6 +185,22 @@ def test_cc_hypothesis_differential_vs_oracle(spark):
     check()
 
 
+def test_cc_releases_all_blocks(spark):
+    """localCheckpoint pins RDD blocks that df.unpersist() cannot free;
+    the loop must release each round's blocks itself and register the
+    fixpoint frame's for clear_caches — NOTHING may survive the clear
+    (the same zero-leftover contract test_escaping pins for dedup)."""
+    from docling_fast_server_spark.operators import dedup as dd
+
+    dd.clear_caches()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+    edges = [(i, i + 1) for i in range(150)]
+    got = _spark_cc(spark, edges)  # clears caches in its finally
+    assert got == [(i, 0) for i in range(151)]
+    assert jsc.getPersistentRDDs().size() == base
+
+
 def test_cc_nonconvergence_is_loud(spark):
     import pytest
 
