@@ -118,6 +118,36 @@ def test_cc_checkpoint_path(spark, tmp_path):
             pass  # leave it set; nothing else in the suite checkpoints
 
 
+def test_survivors_flow_into_the_commit_sink(spark, sf_dir, tmp_path):
+    """The end-to-end keep-set story: dedup_survivors writes through
+    the MERGE-grade sink, an incremental second pass appends ONLY new
+    survivors (idempotent on the overlap), and the committed table is
+    exactly the final survivor set."""
+    from docling_fast_server_spark.sources import io as sio
+
+    table = str(tmp_path / "kept")
+    try:
+        surv = components.dedup_survivors(spark, sf_dir)
+        n1 = sio.merge_append_table(surv, table)
+        assert n1 == surv.count()
+        # a re-run of the same pipeline commits ZERO new rows
+        n2 = sio.merge_append_table(
+            components.dedup_survivors(spark, sf_dir), table
+        )
+        assert n2 == 0
+        kept = sorted(
+            int(r["doc_id"])
+            for r in sio.read_table(spark, table).collect()
+        )
+        expect = sorted(
+            int(r["doc_id"])
+            for r in components.dedup_survivors(spark, sf_dir).collect()
+        )
+    finally:
+        dedup.clear_caches(spark)
+    assert kept == expect
+
+
 def test_cc_string_ids(spark):
     """The docstring's claim: any orderable id type works; string ids
     order lexicographically (doc-id style keys)."""
