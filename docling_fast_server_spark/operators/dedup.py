@@ -678,10 +678,12 @@ _VERIFY_SQL = """
 """
 
 # clique-collapse + bucket-cap mirror of _minhash_stages/minhash_pairs:
-# band only clique representatives, cap each (band, key) bucket to the
-# deterministic first MINHASH_BUCKET_CAP by doc_id, verify at rep level,
-# then expand through membership (cross pairs inherit the rep jaccard,
-# intra-clique pairs are 1.0 by construction).
+# band only clique representatives; buckets with more than
+# MINHASH_BUCKET_CAP members are excluded from pair generation ENTIRELY
+# (both engines drop over-cap buckets whole — _drop_hot_buckets / the
+# ANTI JOIN hot below — there is no per-bucket truncation); verify at rep
+# level, then expand through membership (cross pairs inherit the rep
+# jaccard, intra-clique pairs are 1.0 by construction).
 ORACLE_DEDUP_MINHASH = f"""
     WITH corpus AS ({MUTATED_SQL}),
     hsets AS ({HASHSETS_SQL}),

@@ -164,14 +164,23 @@ def _text_and_links(node: _Node) -> tuple[str, int]:
 
 
 def _caps_ratio(text: str) -> float:
-    # C-dispatch counting (sum(map(...))) — the list-comp form profiled
-    # at ~5% of the HTML kernel. isupper() is False for every non-cased
-    # char, so counting it over the full text equals counting it over
-    # the alpha subset (the heuristic's contract is unchanged).
+    # Uppercase LETTERS over all letters. The numerator must count
+    # uppercase only among alphabetic chars: isupper() is also True for
+    # cased non-letters (Roman numerals U+2167, circled letters U+24B6),
+    # which the denominator excludes — counting them would push the
+    # ratio past 1.0 and mis-flag symbol-heavy non-ASCII text as shouty
+    # chrome (ADVICE r06). For ASCII — the overwhelming hot path —
+    # isupper() implies isalpha(), so the cheap C-dispatch counts
+    # (sum(map(...)), ~5% of the HTML kernel as a list comp) are exact;
+    # only non-ASCII text pays for the per-char conjunction.
     n_alpha = sum(map(str.isalpha, text))
     if not n_alpha:
         return 0.0
-    return sum(map(str.isupper, text)) / n_alpha
+    if text.isascii():
+        n_upper = sum(map(str.isupper, text))
+    else:
+        n_upper = sum(1 for c in text if c.isalpha() and c.isupper())
+    return n_upper / n_alpha
 
 
 def _is_boilerplate(node: _Node, text: str, is_heading: bool, link_chars: int) -> bool:

@@ -7,10 +7,15 @@ Here media payloads are opaque BinaryType columns keyed by media_ref, with
 decode / feature-extract implemented over mapInPandas so the Spark-side
 plumbing (schema, partitioning, Arrow batch shape) is real and tested.
 
-The actual codecs (PIL/ffmpeg-class) are NOT in this container, so the
-decode step is a clearly-marked deterministic fake behind
-``FAKE_DECODE=True`` — swap ``_decode_image_batch`` for a real decoder in
-production; the surrounding Spark code does not change. The remote
+Every synthesized payload decodes through a REAL parser (BMP; PNG via
+zlib inflate; GIF via variable-width LZW; baseline JPEG via Huffman +
+IDCT; CSV tables via stdlib csv), so no deterministic stand-in remains:
+a payload in any OTHER format raises ValueError exactly like a malformed
+container (the per-row degrade contract) rather than fabricating
+features. Foreign formats are supported by swapping a real batch
+decoder (PIL/libvips) in through the injection seam — the `decoder`
+parameter of extract_media_features / transform_media replaces the
+whole dispatch; the surrounding Spark code does not change. The remote
 captioning analog (K7) stays excluded, as the reference itself runs
 without it (pdf_processor.py:144-166 limited pipeline).
 """
@@ -23,12 +28,6 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F, types as T
-
-FAKE_DECODE = True  # non-BMP/PNG/GIF/JPEG payloads only: no image libs
-# in this container, so any OTHER format hits the deterministic stub.
-# BMP, PNG, GIF, and JPEG payloads take the REAL decode paths below
-# regardless of this flag (r4: BMP; r5: PNG/deflate; r6: GIF/LZW+palette
-# and JPEG/DCT+Huffman — three compression families).
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -959,9 +958,10 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
     width/height from the headers, checksum = sum of decoded pixel bytes,
     PNG through genuine zlib inflate + filter reversal, GIF through
     genuine LZW inflate + palette expansion, JPEG through genuine Huffman
-    entropy decode + IDCT); everything else is the documented
-    deterministic stand-in (a production build swaps in PIL.Image.open
-    for those formats)."""
+    entropy decode + IDCT); any other format raises ValueError like a
+    malformed container — the per-row degrade contract (a production
+    build swaps a PIL/libvips batch decoder in through the `decoder`
+    injection seam for those formats)."""
     out = {"width": [], "height": [], "checksum": []}
     for p in payloads:
         b = bytes(p)
@@ -973,12 +973,8 @@ def _decode_image_batch(payloads: pd.Series) -> pd.DataFrame:
             w, h, csum = _decode_gif(b)
         elif b[:2] == b"\xff\xd8":
             w, h, csum = _decode_jpeg(b)
-        elif not FAKE_DECODE:  # pragma: no cover
-            raise NotImplementedError(
-                "non-BMP/PNG/GIF/JPEG decode requires PIL/libvips"
-            )
         else:
-            w, h, csum = 64 + b[0] % 192, 64 + b[-1] % 192, sum(b)
+            raise ValueError("unsupported image container (inject a real decoder)")
         out["width"].append(w)
         out["height"].append(h)
         out["checksum"].append(csum)
@@ -1018,10 +1014,10 @@ def _decode_by_kind(pdf: pd.DataFrame, image_fn, table_fn) -> pd.DataFrame:
 
 def _decode_pixels_batch(payloads: pd.Series) -> pd.DataFrame:
     """Batch decode to the DECODED byte stream: BMP/PNG/GIF/JPEG payloads
-    take the real parsers (_decode_*_pixels); any other format behind the
-    FAKE_DECODE seam passes its raw bytes through as the identity decode.
-    Production swaps this for a PIL/libvips batch decoder returning the
-    same (width, height, pixels) frame."""
+    take the real parsers (_decode_*_pixels); any other format raises
+    ValueError like a malformed container (per-row degrade contract).
+    Production swaps a PIL/libvips batch decoder in through the
+    injection seam, returning the same (width, height, pixels) frame."""
     out = {"width": [], "height": [], "pixels": []}
     for p in payloads:
         b = bytes(p)
@@ -1033,12 +1029,8 @@ def _decode_pixels_batch(payloads: pd.Series) -> pd.DataFrame:
             w, h, px = _decode_gif_pixels(b)
         elif b[:2] == b"\xff\xd8":
             w, h, px = _decode_jpeg_pixels(b)
-        elif not FAKE_DECODE:  # pragma: no cover
-            raise NotImplementedError(
-                "non-BMP/PNG/GIF/JPEG decode requires PIL/libvips"
-            )
         else:
-            w, h, px = 64 + b[0] % 192, 64 + b[-1] % 192, b
+            raise ValueError("unsupported image container (inject a real decoder)")
         out["width"].append(w)
         out["height"].append(h)
         out["pixels"].append(px)
@@ -1247,8 +1239,8 @@ def oracle_media_features() -> str:
 
 # ---------------------------------------------------------------------------
 # resize + frame-sample transform kernel — the remaining multimodal
-# plumbing (schema, Arrow batch shape, integer-exact geometry; the pixel
-# work is the same documented FAKE_DECODE stand-in as decode)
+# plumbing (schema, Arrow batch shape, integer-exact geometry) over the
+# REAL decoded streams (same codec dispatch + degrade contract as decode)
 # ---------------------------------------------------------------------------
 RESIZE_MAX_DIM = 128
 FRAME_BYTES = 64  # treat the payload as a sequence of 64-byte "frames"

@@ -10,6 +10,7 @@ the driver's rows-only fallback for iterative operators.
 
 import duckdb
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from docling_fast_server_spark.operators import components, dedup
@@ -99,23 +100,138 @@ def test_cc_orientation_and_duplication_invariant(spark):
     assert _spark_cc(spark, base) == _spark_cc(spark, noisy)
 
 
+def _restore_checkpoint_dir(sc, prev):
+    try:  # reset the session-scoped context for the rest of the suite
+        if prev is None:
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.empty()
+            )
+        else:
+            sc.setCheckpointDir(prev)
+    except Exception:
+        pass  # leave it set; a stale dir only costs disk, never wrongness
+
+
 def test_cc_checkpoint_path(spark, tmp_path):
     """With a checkpoint dir configured (the production setting) the
     periodic reliable checkpoint engages and the result is unchanged."""
     sc = spark.sparkContext
-    assert sc.getCheckpointDir() is None
+    prev = sc.getCheckpointDir()
     sc.setCheckpointDir(str(tmp_path / "ckpt"))
     try:
         edges = [(i, i + 1) for i in range(120)]
         got = _spark_cc(spark, edges, checkpoint_interval=2)
         assert got == [(i, 0) for i in range(121)]
     finally:
-        try:  # reset the session-scoped context for the rest of the suite
-            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
-                sc._jvm.scala.Option.empty()
-            )
+        _restore_checkpoint_dir(sc, prev)
+
+
+def test_cc_checkpoint_files_are_garbage_collected(spark, tmp_path):
+    """Reliable interval checkpoints must not accumulate files for the
+    life of the application (ADVICE r06): superseded rounds are deleted
+    as soon as their successor materializes, and clear_caches removes
+    the final frame's files too — after consume + clear the checkpoint
+    dir holds nothing."""
+    import os
+
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    ckpt = tmp_path / "ckpt_gc"
+    sc.setCheckpointDir(str(ckpt))
+    try:
+        edges = [(i, i + 1) for i in range(200)]
+        df = spark.createDataFrame(
+            pd.DataFrame(edges, columns=["doc_a", "doc_b"])
+        )
+        stars, rounds = components.cc_fixpoint(df, checkpoint_interval=1)
+        assert rounds >= 3  # several reliable checkpoints were taken
+        files_live = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(ckpt)
+            for f in fs
+        ]
+        # only the FINAL round's rdd dir may remain while unconsumed
+        live_rdd_dirs = {
+            os.path.relpath(p, ckpt).split(os.sep)[1]
+            for p in files_live
+            if "rdd-" in p
+        }
+        assert len(live_rdd_dirs) <= 1, live_rdd_dirs
+        stars.count()  # consume
+    finally:
+        dedup.clear_caches(spark)
+        _restore_checkpoint_dir(sc, prev)
+    leftovers = [
+        os.path.join(r, f) for r, _, fs in os.walk(ckpt) for f in fs
+    ]
+    assert leftovers == [], leftovers
+
+
+def test_cc_reliable_path_recovers_from_block_loss_mid_fixpoint(
+    spark, tmp_path, monkeypatch
+):
+    """The durability story behind ensure_checkpoint_dir: with
+    checkpoint_interval=1 every round (seed included) is file-backed,
+    so dropping EVERY executor-held storage block after each round (the
+    local-mode analog of losing executors mid-fixpoint) still converges
+    to the exact answer — each next round recomputes from checkpoint
+    FILES. A localCheckpoint frame given the same treatment dies: its
+    lineage is truncated and its blocks are not recomputable. That
+    contrast is why dedup_clusters/update_clusters default a reliable
+    dir instead of inheriting whatever the session happens to have."""
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    sc.setCheckpointDir(str(tmp_path / "ckpt_dur"))
+
+    def _drop_all_blocks(df):
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(True)
         except Exception:
-            pass  # leave it set; nothing else in the suite checkpoints
+            pass
+
+    real_fp = components._fingerprint
+    edges = [(i, i + 1) for i in range(150)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+    try:
+        # contrast: a localCheckpoint frame cannot survive block loss
+        frail = df.localCheckpoint(eager=True)
+        _drop_all_blocks(frail)
+        with pytest.raises(Exception):
+            frail.count()
+
+        def lossy_fp(e):
+            fp = real_fp(e)
+            _drop_all_blocks(e)  # executor dies right after this round
+            return fp
+
+        monkeypatch.setattr(components, "_fingerprint", lossy_fp)
+        stars, _ = components.cc_fixpoint(df, checkpoint_interval=1)
+        got = sorted((r["u"], r["v"]) for r in stars.collect())
+        assert got == [(i, 0) for i in range(1, 151)]
+    finally:
+        dedup.clear_caches(spark)
+        _restore_checkpoint_dir(sc, prev)
+
+
+def test_entry_points_default_a_reliable_checkpoint_dir(spark, sf_dir):
+    """dedup_clusters must establish a checkpoint dir when the session
+    has none (round-6 verdict item 4) and leave an explicit one alone."""
+    sc = spark.sparkContext
+    prev = sc.getCheckpointDir()
+    try:
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(sc._jvm.scala.Option.empty())
+        assert sc.getCheckpointDir() is None
+        try:
+            components.dedup_clusters(spark, sf_dir).count()
+        finally:
+            dedup.clear_caches(spark)
+        assert sc.getCheckpointDir() is not None
+        assert "_cc_checkpoints" in sc.getCheckpointDir()
+        # an existing dir (production override) is respected
+        d = components.ensure_checkpoint_dir(spark)
+        assert d == sc.getCheckpointDir()
+    finally:
+        _restore_checkpoint_dir(sc, prev)
 
 
 def test_survivors_flow_into_the_commit_sink(spark, sf_dir, tmp_path):

@@ -166,3 +166,17 @@ def test_furniture_skip_ignores_orphan_close_tags():
     finally:
         hx._parse_html = orig
     assert a == b and [s["kind"] for s in a] == ["text"]
+
+
+def test_caps_ratio_counts_uppercase_letters_only():
+    """ADVICE r06: cased-but-non-alphabetic chars (circled letters,
+    Roman numerals) are isupper() but not isalpha(); counting them in
+    the numerator pushed the ratio past 1.0 on symbol-heavy non-ASCII
+    text. The ratio is uppercase LETTERS over letters, capped at 1."""
+    from docling_fast_server_spark.operators.html_extract import _caps_ratio
+
+    assert _caps_ratio("Ⓐ Ⓑ Ⓒ a") == 0.0  # Ⓐ Ⓑ Ⓒ a
+    assert _caps_ratio("Ⅷ abc DEF") == 0.5  # Ⅷ + 3 lower + 3 upper
+    assert _caps_ratio("BUY NOW") == 1.0
+    assert _caps_ratio("MiXeD case") == 3 / 9
+    assert _caps_ratio("1234 !!") == 0.0

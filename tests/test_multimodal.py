@@ -850,3 +850,23 @@ def test_decode_by_kind_empty_batch():
     out = _decode_by_kind(empty, _decode_image_batch, _decode_table_batch)
     assert len(out) == 0
     assert list(out.columns) == ["width", "height", "checksum"]
+
+
+def test_foreign_formats_follow_the_degrade_contract():
+    """Round-7: the FAKE_DECODE stand-in is retired. A payload in a
+    format none of the real parsers handle must raise ValueError exactly
+    like a malformed container (per-row degrade), never fabricate
+    features — real support arrives only through the decoder injection
+    seam (test_decoder_injection_seam)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from docling_fast_server_spark.operators.multimodal import (
+        _decode_image_batch,
+        _decode_pixels_batch,
+    )
+
+    webp_ish = b"RIFF\x24\x00\x00\x00WEBPVP8 " + bytes(range(40))
+    for fn in (_decode_image_batch, _decode_pixels_batch):
+        with _pytest.raises(ValueError, match="unsupported image container"):
+            fn(pd.Series([webp_ish]))
