@@ -493,9 +493,12 @@ def _set_fold_sql(col: str, base: int, mod: int) -> str:
 
 def _cliques(corpus: DataFrame) -> DataFrame:
     """(doc_id, rep): hash-set-identity clique membership over the
-    shingleable corpus; rep = min(doc_id) per clique (diagnostics/test
-    surface — _minhash_stages fuses the same computation with the
-    signature projection so it costs one window, not a groupBy+join)."""
+    shingleable corpus; rep = min(doc_id) per clique. Diagnostics/test
+    surface — the window form here is the semantic reference;
+    _minhash_stages computes the same tagging as a filtered
+    groupBy(min, count) + AQE-broadcast join (map-side combinable, no
+    corpus-wide sort; measured equal-or-faster at sf0.1 and strictly
+    cheaper at scale on healthy corpora)."""
     from pyspark.sql import Window
 
     hsdf = _doc_hashsets(corpus)
@@ -544,29 +547,55 @@ def _minhash_stages(corpus: DataFrame, bucket_cap: int):
     instead of OOMing; membership is three int64s/doc). Lifecycle:
     registered for clear_caches() — the caller frees them after
     consuming the result."""
-    from pyspark.sql import Window
-
-    hsdf = _register_cache(_doc_hashsets(corpus))
+    # coalesce (narrow, NO shuffle) the cached hash sets to the
+    # cluster's parallelism: the scan layout can carry hundreds of tiny
+    # splits (one per file), and every downstream stage that probes the
+    # cache would inherit that partition count — pure per-task overhead
+    # once the data is in memory. The fold still computes across all
+    # cores (coalesce merges, it does not serialize), and at production
+    # scale defaultParallelism = total executor cores, exactly the
+    # density a CPU-bound narrow stage wants.
+    par = max(corpus.sparkSession.sparkContext.defaultParallelism, 1)
+    hsdf = _register_cache(_doc_hashsets(corpus).coalesce(par))
     # signatures + clique fold in ONE narrow projection off the cached
-    # hash sets, then rep + clique size from a single window on the fold
-    # pair: the only corpus-wide exchange this adds ships 11 int64s per
-    # doc (text itself never shuffles). `tagged` feeds the rep filter
-    # plus the two membership-expansion joins, so it is persisted too
-    # (11 longs/doc after dropping the fold keys). Keeping the consumer
-    # count low matters: concurrent AQE stages race to materialize a
-    # cold cache, each re-running its lineage from the previous cache —
-    # measured at ~0.35 s per racing consumer at sf0.1.
+    # hash sets. Clique tagging (rep = min(doc_id), csize) is a
+    # groupBy(f1,f2) FILTERED to non-singleton cliques, joined back —
+    # NOT a window (round-6 verdict item 2): the aggregate is map-side
+    # combinable and its exchange ships one slim partial row per
+    # distinct fold pair, where the window formulation sort-shuffled
+    # the corpus's full 11-int64 rows (measured ~0.5 s at sf0.1). The
+    # filtered clique list holds one row per REAL duplicate clique —
+    # tiny on healthy corpora, so AQE broadcasts the join and the
+    # signature side never shuffles; on a duplicate-heavy crawl it
+    # degrades to a sort-merge join, which is exactly the old window's
+    # cost. Unmatched rows are singletons: rep = self, csize = 1.
+    # `tagged` feeds the rep filter plus the two membership-expansion
+    # joins, so it is persisted too (10 longs/doc after dropping the
+    # fold keys). Keeping the consumer count low matters: concurrent
+    # AQE stages race to materialize a cold cache, each re-running its
+    # lineage from the previous cache — measured at ~0.35 s per racing
+    # consumer at sf0.1.
     combined = hsdf.select(
         "doc_id",
         *[_sig_col(j) for j in range(MINHASH_K)],
         _set_fold(F.col("hs"), SETF_B1, SETF_P1).alias("f1"),
         _set_fold(F.col("hs"), SETF_B2, SETF_P2).alias("f2"),
     )
-    w = Window.partitionBy("f1", "f2")
+    cliq = (
+        combined.groupBy("f1", "f2")
+        .agg(
+            F.min("doc_id").alias("c_rep"),
+            F.count(F.lit(1)).cast("long").alias("c_size"),
+        )
+        .filter(F.col("c_size") > 1)
+    )
     tagged = _register_cache(
-        combined.withColumn("rep", F.min("doc_id").over(w))
-        .withColumn("csize", F.count(F.lit(1)).over(w))
-        .drop("f1", "f2")
+        combined.join(cliq, ["f1", "f2"], "left").select(
+            "doc_id",
+            *[f"h{j}" for j in range(MINHASH_K)],
+            F.coalesce(F.col("c_rep"), F.col("doc_id")).alias("rep"),
+            F.coalesce(F.col("c_size"), F.lit(1).cast("long")).alias("csize"),
+        )
     )
     rep_sig = tagged.filter(F.col("doc_id") == F.col("rep"))
     bands = rep_sig.select(
