@@ -386,6 +386,68 @@ def update_clusters(
     )
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Driver-gated CC row (round-7 verdict item 1): cluster assignment
+    + per-cluster size + survivor flag for EVERY document of the mutated
+    near-dup corpus, in one value-hash-checked relation. This puts the
+    fixpoint (minhash pairs -> connected components), the survivor rule
+    (keep min doc_id — the transitive-closure version of the reference's
+    one-job-per-content-hash, queue_manager.py:917-929) and the
+    cluster_stats ingredients (sizes) under the same DuckDB oracle gate
+    as everything else; the oracle reproduces the closure with
+    WITH RECURSIVE over the identical pair pipeline."""
+    labels = dedup_clusters(spark, sf_dir)
+    sizes = labels.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return labels.join(sizes, "component").select(
+        "doc_id",
+        "component",
+        "cluster_size",
+        (F.col("doc_id") == F.col("component")).cast("int").alias("is_survivor"),
+    )
+
+
+def _oracle_dedup_clusters() -> str:
+    from .dedup import MUTATED_SQL, MINHASH_PAIRS_FINAL_SQL, minhash_ctes_sql
+
+    return f"""
+    WITH RECURSIVE corpus AS MATERIALIZED ({MUTATED_SQL}),
+    {minhash_ctes_sql()},
+    allpairs AS MATERIALIZED ({MINHASH_PAIRS_FINAL_SQL}),
+    sym AS MATERIALIZED (
+        SELECT doc_a AS u, doc_b AS v FROM allpairs
+        UNION
+        SELECT doc_b, doc_a FROM allpairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM sym),
+    cc(node, lbl) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.v, cc.lbl FROM cc JOIN sym s ON s.u = cc.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM cc GROUP BY node),
+    lab AS MATERIALIZED (
+        SELECT c.doc_id, coalesce(p.component, c.doc_id) AS component
+        FROM corpus c LEFT JOIN comp p ON p.node = c.doc_id
+    ),
+    sz AS (
+        SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+        FROM lab GROUP BY component
+    )
+    SELECT lab.doc_id, lab.component, sz.cluster_size,
+           CAST(lab.doc_id = lab.component AS INTEGER) AS is_survivor
+    FROM lab JOIN sz USING (component)
+"""
+
+
+QUERIES = {"dedup_clusters": q_dedup_clusters}
+
+
+def oracles() -> dict:
+    return {"dedup_clusters": _oracle_dedup_clusters()}
+
+
 def cluster_stats(labels: DataFrame) -> DataFrame:
     """Lineage-style metrics over a (doc_id, component) assignment:
     total docs, cluster count, docs dropped by keep-min-per-cluster,

@@ -411,13 +411,20 @@ _SHINGLE_EXPR_SQL = (
 # Cap-free: range(len(w)-2) generates exactly the valid shingle positions
 # for ANY document length — no silent 4096-token truncation to diverge
 # from the Spark side on long documents.
-HASHSETS_SQL = f"""
+def hashsets_sql(src: str = "corpus") -> str:
+    """Per-doc distinct shingle-hash sets over any (doc_id, text) CTE —
+    parameterized so composed oracles (pipeline_e2e) can chain it over a
+    derived corpus."""
+    return f"""
     SELECT doc_id,
            list_distinct(list_transform(range(len(w) - {SHINGLE - 1}),
              shi -> {poly_hash_sql(_SHINGLE_EXPR_SQL)})) AS hs
-    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus)
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM {src})
     WHERE len(w) >= {SHINGLE}
 """
+
+
+HASHSETS_SQL = hashsets_sql()
 
 
 def _uhash(j: int, h):
@@ -712,11 +719,18 @@ _VERIFY_SQL = """
 # (both engines drop over-cap buckets whole — _drop_hot_buckets / the
 # ANTI JOIN hot below — there is no per-bucket truncation); verify at rep
 # level, then expand through membership (cross pairs inherit the rep
-# jaccard, intra-clique pairs are 1.0 by construction).
-ORACLE_DEDUP_MINHASH = f"""
-    WITH corpus AS ({MUTATED_SQL}),
-    hsets AS ({HASHSETS_SQL}),
-    tagged AS (
+# jaccard, intra-clique pairs are 1.0 by construction). Split into a
+# parameterized CTE chain + final select so composed oracles
+# (dedup_clusters, pipeline_e2e) can chain the identical pipeline over a
+# derived corpus and feed its pairs into a recursive closure.
+def minhash_ctes_sql(src: str = "corpus") -> str:
+    """The minhash pipeline as a CTE list (hsets .. rep_pairs) over any
+    (doc_id, text) CTE named ``src`` — works for numeric AND string doc
+    ids (min/least/greatest order strings lexicographically, identically
+    in both engines for the ASCII ids used here)."""
+    return f"""
+    hsets AS MATERIALIZED ({hashsets_sql(src)}),
+    tagged AS MATERIALIZED (
         SELECT doc_id,
                {_SIG_COLS_SQL},
                min(doc_id) OVER (PARTITION BY
@@ -724,30 +738,33 @@ ORACLE_DEDUP_MINHASH = f"""
                    {_set_fold_sql('hs', SETF_B2, SETF_P2)}) AS rep
         FROM hsets
     ),
-    member AS (SELECT doc_id, rep FROM tagged),
-    sig AS (SELECT * FROM tagged WHERE doc_id = rep),
-    bands AS (
+    member AS MATERIALIZED (SELECT doc_id, rep FROM tagged),
+    sig AS MATERIALIZED (SELECT * FROM tagged WHERE doc_id = rep),
+    bands AS MATERIALIZED (
         {_BANDS_SQL}
     ),
     hot AS (
         SELECT band, key FROM bands
         GROUP BY band, key HAVING count(*) > {MINHASH_BUCKET_CAP}
     ),
-    capped AS (
+    capped AS MATERIALIZED (
         SELECT doc_id, band, key FROM bands ANTI JOIN hot USING (band, key)
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         FROM capped x JOIN capped y ON x.band = y.band AND x.key = y.key
         WHERE x.doc_id < y.doc_id
     ),
     {_VERIFY_SQL},
-    rep_pairs AS (
+    rep_pairs AS MATERIALIZED (
         SELECT doc_a, doc_b,
                round(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) AS jaccard
         FROM verified
         WHERE round(CAST(n_shared AS DOUBLE) / (na + nb - n_shared), 4) >= {JACCARD_THRESHOLD}
-    )
+    )"""
+
+
+MINHASH_PAIRS_FINAL_SQL = """
     SELECT least(a.doc_id, b.doc_id) AS doc_a,
            greatest(a.doc_id, b.doc_id) AS doc_b,
            p.jaccard
@@ -759,6 +776,12 @@ ORACLE_DEDUP_MINHASH = f"""
     FROM member p JOIN member q ON p.rep = q.rep AND p.doc_id < q.doc_id
 """
 
+ORACLE_DEDUP_MINHASH = f"""
+    WITH corpus AS ({MUTATED_SQL}),
+    {minhash_ctes_sql()}
+    {MINHASH_PAIRS_FINAL_SQL}
+"""
+
 
 # ---------------------------------------------------------------------------
 # SimHash fingerprints (+ blocked hamming pairs)
@@ -768,7 +791,7 @@ SIMHASH_STREAMS = 4  # 4 bit-streams per hash param -> 32-bit fingerprint
 # pairs on 550 docs; 32 bits restores discrimination)
 
 
-def q_dedup_simhash(spark, sf_dir):
+def simhash_signatures(spark, sf_dir):
     """32-bit weighted simhash per document: bit (j, k) set iff the
     specificity-weighted sign-sum of shingle-hash parities is positive
     under variant k of hash_j. Weight = 1000 div document-frequency
@@ -846,7 +869,7 @@ ORACLE_DEDUP_SIMHASH = f"""
 """
 
 
-def q_dedup_simhash_pairs(spark, sf_dir):
+def simhash_hamming_pairs(spark, sf_dir):
     """Near-dup pairs: hamming(simhash) <= HAMMING_MAX, blocked on 4
     byte bands (pigeonhole: <=3 differing bits over 4 bands leaves at
     least one band identical), so no all-pairs join exists at scale.
@@ -856,7 +879,12 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     concentrates into few buckets and suppression bounds the self-join's
     worst case; bucket_tripwire() over the banded relation reports when
     it bites (the signal to widen the fingerprint/bands)."""
-    sig = q_dedup_simhash(spark, sf_dir)
+    return hamming_pairs_from(simhash_signatures(spark, sf_dir))
+
+
+def hamming_pairs_from(sig: DataFrame) -> DataFrame:
+    """Byte-banded hamming<=HAMMING_MAX pairs from a (doc_id, simhash)
+    relation (see simhash_hamming_pairs for the blocking rationale)."""
     banded = sig.select(
         "doc_id",
         "simhash",
@@ -915,6 +943,54 @@ ORACLE_DEDUP_SIMHASH_PAIRS = f"""
     )
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
            CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+    FROM capped x JOIN capped y
+      ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
+"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """FOLDED registry row (round-7: frees a slot for the CC family, the
+    r3 ts_textstats pattern): per-document signatures AND blocked
+    hamming pairs in one relation, every former column still
+    value-hash-checked. Per-doc rows carry (doc_id, -1, -1, simhash);
+    pair rows carry (doc_a, doc_b, hamming, -1) — sentinels, not NULLs,
+    so the driver's value hash is engine-agnostic. The signature frame
+    is persisted once and feeds both branches (registered for
+    clear_caches, the standard lifecycle)."""
+    sig = _register_cache(simhash_signatures(spark, sf_dir))
+    per_doc = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.lit(-1).cast("long").alias("doc_b"),
+        F.lit(-1).cast("int").alias("hamming"),
+        F.col("simhash"),
+    )
+    pair_rows = hamming_pairs_from(sig).select(
+        "doc_a", "doc_b", "hamming", F.lit(-1).cast("long").alias("simhash")
+    )
+    return per_doc.unionByName(pair_rows)
+
+
+ORACLE_DEDUP_SIMHASH_FOLDED = f"""
+    WITH corpus AS ({MUTATED_SQL}),
+    {_SIMHASH_CORE_SQL},
+    banded AS (
+        {_SIMHASH_BANDED_SQL}
+    ),
+    hot AS (
+        SELECT band, key FROM banded
+        GROUP BY band, key HAVING count(*) > {SIMHASH_BUCKET_CAP}
+    ),
+    capped AS (
+        SELECT * FROM banded ANTI JOIN hot USING (band, key)
+    )
+    SELECT doc_id AS doc_a, CAST(-1 AS BIGINT) AS doc_b,
+           CAST(-1 AS INTEGER) AS hamming, simhash
+    FROM sig
+    UNION ALL
+    SELECT DISTINCT x.doc_id, y.doc_id,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER),
+           CAST(-1 AS BIGINT)
     FROM capped x JOIN capped y
       ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
     WHERE bit_count(xor(x.simhash, y.simhash)) <= {HAMMING_MAX}
@@ -1049,12 +1125,16 @@ ORACLE_DEDUP_NGRAM_JACCARD = f"""
 """
 
 
+# dedup_simhash is the FOLDED row (signatures ∪ pairs, round 7) — the
+# standalone ORACLE_DEDUP_SIMHASH / ORACLE_DEDUP_SIMHASH_PAIRS mirrors
+# stay exported for the pytest surfaces that exercise the unfolded
+# operators. The freed slot driver-gates the connected-components family
+# (components.QUERIES).
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
-    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_embedding": q_dedup_embedding,
 }
 
@@ -1062,7 +1142,6 @@ ORACLES = {
     "dedup_exact": _oracle_dedup_exact(),
     "dedup_ngram_jaccard": ORACLE_DEDUP_NGRAM_JACCARD,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
-    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
-    "dedup_simhash_pairs": ORACLE_DEDUP_SIMHASH_PAIRS,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH_FOLDED,
     "dedup_embedding": ORACLE_DEDUP_EMBEDDING,
 }

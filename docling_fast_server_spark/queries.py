@@ -105,6 +105,16 @@ def q_export_doctags(spark, sf_dir):
     return with_exports(extract_all(spark, sf_dir)).select("doc_id", "doctags")
 
 
+def q_export_html_doctags(spark, sf_dir):
+    """FOLDED registry row (round-7: frees a slot for pipeline_e2e, the
+    r3 ts_textstats pattern): both serializations in one per-doc
+    relation — every byte of the former export_html and export_doctags
+    rows is still value-hash-checked."""
+    return with_exports(extract_all(spark, sf_dir)).select(
+        "doc_id", "html", "doctags"
+    )
+
+
 def q_export_json(spark, sf_dir):
     return with_exports(extract_all(spark, sf_dir)).select("doc_id", "doc_json")
 
@@ -174,6 +184,14 @@ ORACLE_EXPORT_MARKDOWN = _export_oracle(_MD_RENDER, "chr(10)||chr(10)", col="mar
 ORACLE_EXPORT_HTML = _export_oracle(_HTML_RENDER, "chr(10)", col="html")
 ORACLE_EXPORT_DOCTAGS = _export_oracle(_DOCTAGS_RENDER, "chr(10)", col="doctags")
 ORACLE_EXPORT_JSON = _export_oracle(_JSON_RENDER, "','", prefix="[", suffix="]", col="doc_json")
+
+ORACLE_EXPORT_HTML_DOCTAGS = f"""
+    WITH exp AS ({expected_spans_sql("all")})
+    SELECT doc_id,
+           coalesce(string_agg({_HTML_RENDER}, chr(10) ORDER BY "offset"), '') AS html,
+           coalesce(string_agg({_DOCTAGS_RENDER}, chr(10) ORDER BY "offset"), '') AS doctags
+    FROM exp GROUP BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -393,6 +411,174 @@ ORACLE_RETENTION_SWEEP = """
 """
 
 
+# ---------------------------------------------------------------------------
+# pipeline_e2e — the flagship chain COMPOSED as one driver-gated query
+# (round-7 verdict item 7): extract -> exact dedup -> near-dup (minhash
+# LSH + connected-components) survivors -> chunk -> markdown export.
+# The individual stages each have their own green row; this row checks
+# operator COMPOSITION — schema handoffs, survivor propagation through
+# the downstream stages — the way test_components.py checks
+# survivors -> sink. Duplicates are injected at the EXTRACTED-text layer
+# with string ids ('dup-'/'xct-' order after 'doc-', so the min-id
+# survivor rule keeps originals), reproducible verbatim in SQL.
+# ---------------------------------------------------------------------------
+def q_pipeline_e2e(spark, sf_dir):
+    """One row per document of the duplicate-injected corpus:
+    (doc_id, survives, n_chunks, markdown); docs dropped by either dedup
+    stage carry (0, 0, '')."""
+    from .operators import dedup as dd
+    from .operators.components import connected_components, ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    extracted = dd._register_cache(extract_all(spark, sf_dir))
+    texts = extracted.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.filter("spans", lambda s: s["text"].isNotNull()),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("text"),
+    )
+    num = F.substring("doc_id", 5, 6).cast("long")
+    near = texts.filter(num % 10 == 0).select(
+        F.concat(F.lit("dup-"), F.substring("doc_id", 5, 6)).alias("doc_id"),
+        F.concat("text", F.lit(" xtra token end")).alias("text"),
+    )
+    exact = texts.filter(num % 25 == 0).select(
+        F.concat(F.lit("xct-"), F.substring("doc_id", 5, 6)).alias("doc_id"),
+        F.col("text"),
+    )
+    corpus = texts.unionByName(near).unionByName(exact)
+    # stage 1: exact content-hash dedup (the reference's exact-first
+    # discipline, queue_manager.py:917-929) — keep min doc_id per
+    # 112-bit hash pair, one map-side-combinable groupBy + semi-join
+    keyed = corpus.select(
+        "doc_id",
+        "text",
+        dd.poly_hash(F.col("text"), dd.EXACT_B1, dd.EXACT_P1).alias("h1"),
+        dd.poly_hash(F.col("text"), dd.EXACT_B2, dd.EXACT_P2).alias("h2"),
+    )
+    keep = keyed.groupBy("h1", "h2").agg(F.min("doc_id").alias("doc_id"))
+    kept = keyed.join(keep, ["h1", "h2", "doc_id"]).select("doc_id", "text")
+    # stage 2: near-dup clusters over the survivors of stage 1
+    pairs = dd.minhash_pairs(kept)
+    labels = connected_components(pairs, checkpoint_interval=1)
+    lab = (
+        kept.select(F.col("doc_id").alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
+    surv = (
+        lab.filter(F.col("doc_id") == F.col("component"))
+        .select("doc_id")
+        .withColumn("survives", F.lit(1))
+    )
+    # stage 3+4: chunk + export the extracted docs, carried only for
+    # survivors (dropped rows must come back empty, proving the keep-set
+    # actually gates the downstream stages)
+    chunks = (
+        chunk_spans(extracted, budget=CHUNK_BUDGET, route="hof")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+    )
+    md = with_exports(extracted).select("doc_id", "markdown")
+    svv = F.coalesce(F.col("survives"), F.lit(0))
+    return (
+        corpus.select("doc_id")
+        .join(surv, "doc_id", "left")
+        .join(md, "doc_id", "left")
+        .join(chunks, "doc_id", "left")
+        .select(
+            "doc_id",
+            svv.cast("int").alias("survives"),
+            F.when(svv == 1, F.coalesce("n_chunks", F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_chunks"),
+            F.when(svv == 1, F.coalesce("markdown", F.lit("")))
+            .otherwise(F.lit(""))
+            .alias("markdown"),
+        )
+    )
+
+
+def _oracle_pipeline_e2e() -> str:
+    from .operators.dedup import (
+        EXACT_B1,
+        EXACT_B2,
+        EXACT_P1,
+        EXACT_P2,
+        MINHASH_PAIRS_FINAL_SQL,
+        minhash_ctes_sql,
+        poly_hash_sql,
+    )
+
+    return f"""
+    WITH RECURSIVE exp AS ({expected_spans_sql("all")}),
+    dtext AS (
+      SELECT doc_id,
+             coalesce(string_agg(text, ' ' ORDER BY "offset")
+                      FILTER (WHERE text IS NOT NULL), '') AS text
+      FROM exp GROUP BY doc_id
+    ),
+    e2e_corpus AS (
+      SELECT doc_id, text FROM dtext
+      UNION ALL
+      SELECT 'dup-' || substring(doc_id, 5), text || ' xtra token end'
+      FROM dtext WHERE CAST(substring(doc_id, 5) AS BIGINT) % 10 = 0
+      UNION ALL
+      SELECT 'xct-' || substring(doc_id, 5), text
+      FROM dtext WHERE CAST(substring(doc_id, 5) AS BIGINT) % 25 = 0
+    ),
+    keyed AS (
+      SELECT doc_id, text,
+             {poly_hash_sql('text', EXACT_B1, EXACT_P1)} AS h1,
+             {poly_hash_sql('text', EXACT_B2, EXACT_P2)} AS h2
+      FROM e2e_corpus
+    ),
+    keep AS (SELECT h1, h2, min(doc_id) AS doc_id FROM keyed GROUP BY h1, h2),
+    kept AS (SELECT k.doc_id, k.text FROM keyed k JOIN keep USING (h1, h2, doc_id)),
+    {minhash_ctes_sql('kept')},
+    allpairs AS ({MINHASH_PAIRS_FINAL_SQL}),
+    sym AS (
+      SELECT doc_a AS u, doc_b AS v FROM allpairs
+      UNION
+      SELECT doc_b, doc_a FROM allpairs
+    ),
+    cnodes AS (SELECT DISTINCT u AS node FROM sym),
+    cc(node, lbl) AS (
+      SELECT node, node FROM cnodes
+      UNION
+      SELECT s.v, cc.lbl FROM cc JOIN sym s ON s.u = cc.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM cc GROUP BY node),
+    lab AS (
+      SELECT k.doc_id, coalesce(p.component, k.doc_id) AS component
+      FROM kept k LEFT JOIN comp p ON p.node = k.doc_id
+    ),
+    surv AS (SELECT doc_id FROM lab WHERE doc_id = component),
+    chunk_rows AS ({ORACLE_CHUNKS}),
+    nch AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks
+            FROM chunk_rows GROUP BY doc_id),
+    md AS ({ORACLE_EXPORT_MARKDOWN})
+    SELECT c.doc_id,
+           CAST(CASE WHEN s.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS survives,
+           CAST(CASE WHEN s.doc_id IS NOT NULL THEN coalesce(n.n_chunks, 0)
+                     ELSE 0 END AS BIGINT) AS n_chunks,
+           CASE WHEN s.doc_id IS NOT NULL THEN coalesce(m.markdown, '')
+                ELSE '' END AS markdown
+    FROM e2e_corpus c
+    LEFT JOIN surv s USING (doc_id)
+    LEFT JOIN nch n USING (doc_id)
+    LEFT JOIN md m USING (doc_id)
+"""
+
+
 EXTRACTION_QUERIES = {
     "extract_html_spans": q_extract_html_spans,
     "extract_pdf_spans": q_extract_pdf_spans,
@@ -400,14 +586,14 @@ EXTRACTION_QUERIES = {
     "extract_binary_spans": q_extract_binary_spans,
     "conversion_methods": q_conversion_methods,
     "export_markdown": q_export_markdown,
-    "export_html": q_export_html,
-    "export_doctags": q_export_doctags,
+    "export_html_doctags": q_export_html_doctags,
     "export_json": q_export_json,
     "chunks": q_chunks,
     "chunks_bpe": q_chunks_bpe,
     "lineage_run_summary": q_lineage_run_summary,
     "compaction_stats": q_compaction_stats,
     "retention_sweep": q_retention_sweep,
+    "pipeline_e2e": q_pipeline_e2e,
 }
 
 EXTRACTION_ORACLES = {
@@ -417,24 +603,25 @@ EXTRACTION_ORACLES = {
     "extract_binary_spans": expected_spans_sql("all"),
     "conversion_methods": ORACLE_CONVERSION_METHODS,
     "export_markdown": ORACLE_EXPORT_MARKDOWN,
-    "export_html": ORACLE_EXPORT_HTML,
-    "export_doctags": ORACLE_EXPORT_DOCTAGS,
+    "export_html_doctags": ORACLE_EXPORT_HTML_DOCTAGS,
     "export_json": ORACLE_EXPORT_JSON,
     "chunks": ORACLE_CHUNKS,
     "chunks_bpe": _oracle_chunks_bpe(),
     "lineage_run_summary": ORACLE_LINEAGE_RUN_SUMMARY,
     "compaction_stats": ORACLE_COMPACTION_STATS,
     "retention_sweep": ORACLE_RETENTION_SWEEP,
+    "pipeline_e2e": _oracle_pipeline_e2e(),
 }
 
 
 def all_queries():
-    from .operators import multimodal
+    from .operators import components, multimodal
 
     q = {}
     q.update(EXTRACTION_QUERIES)
     q.update(relational.QUERIES)
     q.update(dedup.QUERIES)
+    q.update(components.QUERIES)
     q.update(similarity.QUERIES)
     q.update(textstats.QUERIES)
     q.update(multimodal.QUERIES)
@@ -442,12 +629,13 @@ def all_queries():
 
 
 def all_oracles():
-    from .operators import multimodal
+    from .operators import components, multimodal
 
     o = {}
     o.update(EXTRACTION_ORACLES)
     o.update(relational.ORACLES)
     o.update(dedup.ORACLES)
+    o.update(components.oracles())
     o.update(similarity.ORACLES)
     o.update(textstats.ORACLES)
     o.update(multimodal.oracles())

@@ -145,8 +145,7 @@ def test_dedup_family_never_shuffles_text(spark, sf_dir):
     for name in (
         "dedup_exact",
         "dedup_minhash",
-        "dedup_simhash",
-        "dedup_simhash_pairs",
+        "dedup_simhash",  # the folded row runs signatures AND pairs
         "dedup_ngram_jaccard",
     ):
         fmt = _formatted(qs[name](spark, sf_dir))
