@@ -616,7 +616,7 @@ def _minhash_stages(corpus: DataFrame, bucket_cap: int):
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    return hsdf, tagged, rep_sig, cand
+    return hsdf, tagged, rep_sig, cand, bands
 
 
 def minhash_candidate_pairs(
@@ -624,8 +624,22 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """The rep-level candidate pair set alone — the stage whose size the
     skew guards bound (exposed for tests/diagnostics)."""
-    _, _, _, cand = _minhash_stages(corpus, bucket_cap)
+    _, _, _, cand, _ = _minhash_stages(corpus, bucket_cap)
     return cand
+
+
+def minhash_pairs_with_diag(
+    corpus: DataFrame, bucket_cap: int = MINHASH_BUCKET_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """(verified pairs, bucket_tripwire rows) off ONE pipeline pass —
+    the banded relation is built once and both outputs read the same
+    cached stages, so surfacing the diagnostics costs one extra partial
+    aggregation, never a second corpus scan. The production entry points
+    (plans.pipeline.run_dedup) append the tripwire UNCONDITIONALLY, the
+    way the reference surfaces queue stats on every status call
+    (queue_manager.py:853-858)."""
+    pairs, bands = _minhash_pairs_impl(corpus, bucket_cap)
+    return pairs, bucket_tripwire(bands, bucket_cap)
 
 
 def minhash_pairs(
@@ -653,7 +667,15 @@ def minhash_pairs(
     so a != b always; least/greatest normalizes the order). AQE
     broadcasts the tiny rep-pair side, so membership never shuffles
     here."""
-    hsdf, tagged, rep_sig, cand = _minhash_stages(corpus, bucket_cap)
+    pairs, _ = _minhash_pairs_impl(corpus, bucket_cap)
+    return pairs
+
+
+def _minhash_pairs_impl(
+    corpus: DataFrame, bucket_cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, banded) — shared by minhash_pairs and the diag variant."""
+    hsdf, tagged, rep_sig, cand, bands = _minhash_stages(corpus, bucket_cap)
     ver = _verify_jaccard(hsdf, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     diag = rep_sig.filter(F.col("csize") > 1).select(
         F.col("doc_id").alias("doc_a"),
@@ -663,7 +685,7 @@ def minhash_pairs(
     rep_pairs = ver.unionByName(diag)
     ma = tagged.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("a"))
     mb = tagged.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("b"))
-    return (
+    pairs = (
         rep_pairs.join(ma, "doc_a")
         .join(mb, "doc_b")
         .filter(
@@ -676,6 +698,7 @@ def minhash_pairs(
             "jaccard",
         )
     )
+    return pairs, bands
 
 
 def q_dedup_minhash(spark, sf_dir):

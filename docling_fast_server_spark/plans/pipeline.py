@@ -195,6 +195,80 @@ def _commit_readback(spark: SparkSession, out_path: str, commit, run_id: str) ->
     )
 
 
+def run_dedup(
+    corpus: DataFrame,
+    survivors_path: str,
+    metrics_path: str,
+    run_id: str | None = None,
+    bucket_cap: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> str:
+    """Near-dup reduction as a RUN: minhash-LSH pairs -> connected-
+    components clusters -> one survivor per cluster through the
+    MERGE-grade sink, with the skew/cluster diagnostics appended to the
+    metrics table UNCONDITIONALLY (round-6 verdict item 3). At 100 TB a
+    non-zero suppressed_members means the bucket cap silently narrowed
+    recall — that must be a fact in the run's metrics, not a number an
+    operator remembers to compute, exactly as the reference surfaces its
+    queue stats on every status call (queue_manager.py:853-858,
+    src/routes/jobs.py:114-118).
+
+    Metrics rows are long-format (run_id, metric, value):
+    suppressed_members / over_cap_buckets / max_bucket from the banded
+    LSH relation (bucket_tripwire) and n_docs / n_clusters / n_dropped /
+    max_cluster_size from the cluster assignment (cluster_stats). All
+    derived off the SAME cached pipeline pass as the pairs themselves —
+    one extra partial aggregation, never a second corpus scan. Returns
+    the run_id; caller releases the registered caches (dedup
+    clear_caches) after consuming any further outputs."""
+    from ..operators.components import (
+        cluster_stats,
+        connected_components,
+        ensure_checkpoint_dir,
+    )
+    from ..operators.dedup import MINHASH_BUCKET_CAP, minhash_pairs_with_diag
+
+    spark = corpus.sparkSession
+    ensure_checkpoint_dir(spark, checkpoint_dir)
+    run_id = run_id or uuid.uuid4().hex[:12]
+    cap = MINHASH_BUCKET_CAP if bucket_cap is None else bucket_cap
+    pairs, trip = minhash_pairs_with_diag(corpus, cap)
+    comp = connected_components(pairs, checkpoint_interval=1)
+    labels = (
+        corpus.select(F.col("doc_id").alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
+    survivors = labels.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    merge_append_table(survivors, survivors_path)
+    trip_row = trip.agg(
+        F.coalesce(F.sum("suppressed_members"), F.lit(0)).cast("long").alias("suppressed_members"),
+        F.coalesce(F.sum("over_cap_buckets"), F.lit(0)).cast("long").alias("over_cap_buckets"),
+        F.coalesce(F.max("max_bucket"), F.lit(0)).cast("long").alias("max_bucket"),
+    )
+    stats = cluster_stats(labels)
+    metrics = (
+        trip_row.crossJoin(stats)
+        .selectExpr(
+            "stack(7, "
+            "'suppressed_members', CAST(suppressed_members AS BIGINT), "
+            "'over_cap_buckets', CAST(over_cap_buckets AS BIGINT), "
+            "'max_bucket', CAST(max_bucket AS BIGINT), "
+            "'n_docs', CAST(n_docs AS BIGINT), "
+            "'n_clusters', CAST(n_clusters AS BIGINT), "
+            "'n_dropped', CAST(n_dropped AS BIGINT), "
+            "'max_cluster_size', CAST(max_cluster_size AS BIGINT)"
+            ") AS (metric, value)"
+        )
+        .select(F.lit(run_id).alias("run_id"), "metric", "value")
+    )
+    append_table(metrics, metrics_path)
+    return run_id
+
+
 def run_extraction(
     spark: SparkSession,
     raw: DataFrame,

@@ -175,7 +175,7 @@ def test_tripwire_matches_duckdb_oracle(spark, sf_dir):
 
     corpus = dedup.mutated_corpus(spark, sf_dir)
     try:
-        _, _, rep_sig, _ = dedup._minhash_stages(corpus, MINHASH_BUCKET_CAP)
+        _, _, rep_sig, _, _ = dedup._minhash_stages(corpus, MINHASH_BUCKET_CAP)
         bands = rep_sig.select(
             "doc_id", F.explode(F.array(*dedup._band_structs())).alias("bk")
         ).select("doc_id", "bk.band", "bk.key")
