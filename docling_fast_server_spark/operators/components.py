@@ -448,6 +448,26 @@ def oracles() -> dict:
     return {"dedup_clusters": _oracle_dedup_clusters()}
 
 
+def sync_survivor_table(spark, labels: DataFrame, table_path: str) -> tuple[int, int]:
+    """Make the survivor TABLE equal ``labels``' survivor set: append
+    the new survivors through the MERGE-grade sink, then DELETE demoted
+    rows. Demotion is real in incremental operation: a later pass can
+    bridge two standing clusters, and the larger root — already
+    committed as a survivor — loses to the smaller one (the min-id
+    rule). An append-only sink would silently keep both; the delete is
+    a semi-join rewrite under the same commit lock the sink uses
+    (sources.io._swap_table), never a collect. Returns
+    (n_appended, n_demoted)."""
+    from ..sources.io import _swap_table, merge_append_table
+
+    surv = labels.filter(F.col("doc_id") == F.col("component")).select("doc_id")
+    n_appended = merge_append_table(surv, table_path)
+    n_before, n_after = _swap_table(
+        spark, table_path, lambda df: df.join(surv, "doc_id", "left_semi")
+    )
+    return n_appended, n_before - n_after
+
+
 def cluster_stats(labels: DataFrame) -> DataFrame:
     """Lineage-style metrics over a (doc_id, component) assignment:
     total docs, cluster count, docs dropped by keep-min-per-cluster,

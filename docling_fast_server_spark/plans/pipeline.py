@@ -225,6 +225,7 @@ def run_dedup(
         cluster_stats,
         connected_components,
         ensure_checkpoint_dir,
+        sync_survivor_table,
     )
     from ..operators.dedup import MINHASH_BUCKET_CAP, minhash_pairs_with_diag
 
@@ -242,8 +243,9 @@ def run_dedup(
             F.coalesce("component", F.col("node")).alias("component"),
         )
     )
-    survivors = labels.filter(F.col("doc_id") == F.col("component")).select("doc_id")
-    merge_append_table(survivors, survivors_path)
+    # sync, not append-only: against a standing survivor table from a
+    # prior run, this run's clustering may DEMOTE old survivors
+    n_appended, n_demoted = sync_survivor_table(spark, labels, survivors_path)
     trip_row = trip.agg(
         F.coalesce(F.sum("suppressed_members"), F.lit(0)).cast("long").alias("suppressed_members"),
         F.coalesce(F.sum("over_cap_buckets"), F.lit(0)).cast("long").alias("over_cap_buckets"),
@@ -253,14 +255,16 @@ def run_dedup(
     metrics = (
         trip_row.crossJoin(stats)
         .selectExpr(
-            "stack(7, "
+            "stack(9, "
             "'suppressed_members', CAST(suppressed_members AS BIGINT), "
             "'over_cap_buckets', CAST(over_cap_buckets AS BIGINT), "
             "'max_bucket', CAST(max_bucket AS BIGINT), "
             "'n_docs', CAST(n_docs AS BIGINT), "
             "'n_clusters', CAST(n_clusters AS BIGINT), "
             "'n_dropped', CAST(n_dropped AS BIGINT), "
-            "'max_cluster_size', CAST(max_cluster_size AS BIGINT)"
+            "'max_cluster_size', CAST(max_cluster_size AS BIGINT), "
+            f"'n_appended', CAST({n_appended} AS BIGINT), "
+            f"'n_demoted', CAST({n_demoted} AS BIGINT)"
             ") AS (metric, value)"
         )
         .select(F.lit(run_id).alias("run_id"), "metric", "value")

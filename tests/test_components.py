@@ -437,3 +437,29 @@ def test_dedup_clusters_end_to_end(spark, sf_dir):
     assert stats["max_cluster_size"] == int(sizes.max())
     # the corpus construction guarantees real multi-member clusters
     assert stats["n_dropped"] > 0
+
+
+def test_incremental_certification_end_to_end(spark, sf_dir, tmp_path):
+    """The sf1-certification scenario at test scale (round-7 verdict
+    item 5): pass 1 clusters half the corpus and commits survivors,
+    pass 2 folds only the delta pairs in via update_clusters, the
+    incremental assignment equals the from-scratch batch closure, and
+    the MERGE sink holds exactly the final survivor set after appending
+    only the new ones (idempotent on re-append)."""
+    import importlib.util
+    import os as _os
+
+    spec = importlib.util.spec_from_file_location(
+        "update_clusters_certify",
+        _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "scripts",
+            "update_clusters_certify.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    facts = mod.certify(spark, sf_dir, str(tmp_path / "kept"))
+    assert facts["incremental_equals_batch"], facts
+    assert facts["sink_exactly_survivors"], facts
+    assert facts["delta_appended"] > 0, facts

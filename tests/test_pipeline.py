@@ -358,6 +358,7 @@ def test_run_dedup_surfaces_diagnostics_unconditionally(spark, sf_dir, tmp_path)
     assert set(met) == {
         "suppressed_members", "over_cap_buckets", "max_bucket",
         "n_docs", "n_clusters", "n_dropped", "max_cluster_size",
+        "n_appended", "n_demoted",
     }
     assert met["suppressed_members"] == 0  # healthy corpus: cap never bit
     assert met["over_cap_buckets"] == 0
