@@ -17,8 +17,9 @@ exactly reproducible by the DuckDB oracle:
             -> array_distinct): a NARROW projection, no explode, no
             distinct shuffle, no dictionary. The k min-hash signature
             values are array_min over the set (still narrow); the
-            corpus-wide shuffles are the clique window (ids + int64
-            folds, r6 skew guard), the rep-only LSH band self-join, and
+            corpus-wide shuffles are the clique-fold partial aggregate
+            (r6 skew guard, r7: map-side-combinable groupBy + broadcast
+            join, no sort), the rep-only LSH band self-join, and
             the candidate-verify joins — the shape that survives 100 TB
             even on a duplicate-heavy crawl corpus. Round 1 built a
             global distinct-shingle dictionary (distinct + two rank
