@@ -25,6 +25,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.bloom import bloom_prune_anti_join
 from ..operators.dispatch import extract_auto
 from ..operators.lineage import anti_join_committed, lineage_summary, with_partition_metrics
 from ..sources.io import append_table, merge_append_table, read_table, table_exists
@@ -282,12 +283,20 @@ def run_extraction(
     partitions: int | None = None,
     resume: bool = True,
     spread: str = "auto",
+    resume_strategy: str = "anti",
 ) -> str:
     """Execute (or resume) one extraction run. Returns the run_id.
 
     Idempotent: docs already present in out_path are skipped via
     anti-join (the content-hash duplicate suppression of
     queue_manager.py:917-929); the append commits atomically.
+
+    resume_strategy: "anti" (default) is the plain left-anti join;
+    "bloom" routes through operators.bloom.bloom_prune_anti_join — a
+    Bloom pre-filter that lets definitely-new docs bypass the resume
+    shuffle entirely (bit-exact equal result; the right choice when the
+    raw batch dwarfs the committed table, i.e. the mostly-new 100 TB
+    backfill).
 
     ONE materialization of the extracted output (the staged commit
     inside merge_append_table); the lineage aggregate is then derived
@@ -303,7 +312,11 @@ def run_extraction(
     run_id = run_id or uuid.uuid4().hex[:12]
     todo = raw
     if resume and table_exists(spark, out_path):
-        todo = anti_join_committed(raw, read_table(spark, out_path))
+        committed_prev = read_table(spark, out_path)
+        if resume_strategy == "bloom":
+            todo = bloom_prune_anti_join(raw, committed_prev, key="doc_id")
+        else:
+            todo = anti_join_committed(raw, committed_prev)
     extracted = extract_auto(spread_by_size(todo, partitions, mode=spread))
     with_meta = with_partition_metrics(extracted, run_id)
     # MERGE-grade commit: the anti-join above closes the common resume

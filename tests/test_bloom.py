@@ -114,3 +114,37 @@ def test_plan_probes_are_broadcast_joins(spark):
     # every probe is a map-side broadcast hash lookup of the block table —
     # the raw corpus is never hash-partitioned on the probe path
     assert plan.count("BroadcastHashJoin") >= k
+
+
+def test_run_extraction_bloom_resume_idempotent(spark, sf_dir, tmp_path):
+    """The "bloom" resume strategy through the REAL pipeline: resume a
+    half-committed run, then re-run — same committed table as the plain
+    anti-join path (which test_pipeline.py certifies), no duplicates."""
+    import os
+
+    from docling_fast_server_spark.corpus import docs_raw
+    from docling_fast_server_spark.plans.pipeline import run_extraction
+    from docling_fast_server_spark.sources.io import read_table
+
+    out = os.path.join(str(tmp_path), "docs_spans")
+    lin = os.path.join(str(tmp_path), "lineage")
+    raw = docs_raw(spark, sf_dir, which="all")
+    total = raw.count()
+
+    half = raw.filter(F.col("doc_id") < "doc-000250")
+    run_extraction(spark, half, out, lin, run_id="b1", partitions=4)
+    n1 = read_table(spark, out).count()
+    assert 0 < n1 < total
+
+    run_extraction(
+        spark, raw, out, lin, run_id="b2", partitions=4, resume_strategy="bloom"
+    )
+    committed = read_table(spark, out)
+    assert committed.count() == total
+    assert committed.select("doc_id").distinct().count() == total
+
+    # idempotent bloom re-run: everything probes committed, nothing appends
+    run_extraction(
+        spark, raw, out, lin, run_id="b3", partitions=4, resume_strategy="bloom"
+    )
+    assert read_table(spark, out).count() == total
