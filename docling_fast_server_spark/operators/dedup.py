@@ -1051,9 +1051,16 @@ def q_dedup_embedding(spark, sf_dir):
     # 2^6 keys/band: small key space, so bound the bucket self-join's
     # worst case with deterministic hot-bucket suppression
     # (oracle-mirrored; bucket_tripwire reports when it bites)
-    capped = _drop_hot_buckets(banded, EMB_BUCKET_CAP)
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    from .similarity import _dot as dot
+
+    # unrolled codegen dot + per-ROW norms (similarity._dot — bit-identical
+    # to the former aggregate(zip_with) fold; one dot per candidate pair
+    # instead of three interpreted HOF evaluations). v is a materialized
+    # attribute here (the banding Generate is a projection barrier), so
+    # the unrolled element accesses are plain GetArrayItems — no
+    # expression-tree blowup (see similarity._dot_hof).
+    capped = _drop_hot_buckets(banded, EMB_BUCKET_CAP).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )
     x, y = capped.alias("x"), capped.alias("y")
     pairs = (
@@ -1064,7 +1071,7 @@ def q_dedup_embedding(spark, sf_dir):
             F.col("y.vec_id").alias("vec_b"),
             (
                 dot(F.col("x.v"), F.col("y.v"))
-                / (F.sqrt(dot(F.col("x.v"), F.col("x.v"))) * F.sqrt(dot(F.col("y.v"), F.col("y.v"))))
+                / (F.col("x.nrm") * F.col("y.nrm"))
             ).alias("cos"),
         )
         .filter(F.col("cos") >= COSINE_THRESHOLD)

@@ -15,8 +15,16 @@ table loses — P(candidate) = 1 - (1 - p_band)^bands where
 p_band = (1 - theta/pi)^b for vectors at angle theta. With 4x4 this is
 ~0.95 for cos≈0.9 neighbors and ~1-1e-7 for near-duplicates.
 
-Both variants are pure DataFrame code (zip_with/aggregate dot products
-inside whole-stage codegen) and exactly reproducible in DuckDB, including
+Both variants are pure DataFrame code and exactly reproducible in DuckDB
+— the dot product is an UNROLLED fixed-DIM sum of array-element products
+(plain arithmetic inside whole-stage codegen; the earlier
+aggregate(zip_with(...)) form is CodegenFallback — every evaluation
+interpreted two lambdas and allocated a DIM-element array, which at sf1
+made the vector family ~60x slower than DuckDB), and per-vector norms
+are computed ONCE per row before any candidate join instead of once per
+candidate pair. Both rewrites are bit-identical: the unrolled sum folds
+left-to-right exactly like the aggregate seeded with 0.0, and the norm
+is the same expression over the same values — including
 the deterministic pseudo-random hyperplanes: h_p[d] = ((1 + (p*64+d) *
 2654435761) % 97) - 48 — integer arithmetic, identical in both engines.
 
@@ -56,12 +64,35 @@ def _vecs(spark, sf_dir):
     )
 
 
-def _dot(a, b):
+def _dot_hof(a, b):
+    """Dot product as an aggregate(zip_with) fold. Interpreted
+    (HigherOrderFunction is CodegenFallback) but its expression TREE is
+    three nodes, so it is safe at per-ROW sites whose inputs are still
+    unresolved expressions (v = transform(embedding, cast) in the same
+    Project): Catalyst substitutes the input ONCE. The unrolled _dot
+    there would inline the transform into all DIM element accesses —
+    an O(DIM^2) tree that blows the 64 KB codegen method limit and
+    turns the whole stage interpreted (measured: 2.4 s -> 17 s on the
+    LSH query at sf0.01)."""
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _cos(a, b):
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+def _dot(a, b):
+    """Dot product as an unrolled fixed-DIM sum — whole-stage-codegen
+    arithmetic, for per-PAIR sites only (post-join projections, lambda
+    variables), where both inputs are materialized attributes so each
+    element access is one GetArrayItem. Bit-identical to _dot_hof:
+    IEEE left-to-right association, and a 0.0 seed is exact."""
+    s = a[0] * b[0]
+    for i in range(1, DIM):
+        s = s + a[i] * b[i]
+    return s
+
+
+def _norm(a):
+    """Per-row norm; HOF form — computed in the same Project that
+    derives v, where the unrolled form would explode (see _dot_hof)."""
+    return F.sqrt(_dot_hof(a, a))
 
 
 def _rank_topk(scored, k: int):
@@ -83,15 +114,22 @@ def brute_topk(vecs: DataFrame, query_filter, k: int = TOPK) -> DataFrame:
     production table is thousands of splits; the bench materializes the
     same layout). Output (q_id, neighbor_id, rank, cos_sim)."""
     queries = vecs.filter(query_filter).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qn"),
     )
     scored = (
-        vecs.crossJoin(F.broadcast(queries))
+        vecs.withColumn("nrm", _norm(F.col("v")))
+        .crossJoin(F.broadcast(queries))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cos(F.col("qv"), F.col("v")), 3).alias("cos3"),
+            # one dot per pair; norms precomputed per ROW (same doubles,
+            # qn*nrm preserves the dot/(norm_a*norm_b) multiplication order)
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 3
+            ).alias("cos3"),
         )
     )
     return _rank_topk(scored, k)
@@ -162,7 +200,7 @@ def banded_buckets(spark, vecs: DataFrame, bands: int, ppb: int) -> DataFrame:
         key = F.lit(0)
         for j in range(ppb):
             arr = F.array(*[F.lit(w) for w in planes[b * ppb + j]])
-            key = key + F.when(_dot(F.col("v"), arr) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            key = key + F.when(_dot_hof(F.col("v"), arr) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         return key.cast("int")
 
     bk = F.explode(
@@ -202,9 +240,15 @@ def lsh_topk(
     the query side is broadcast. Output (q_id, neighbor_id, rank,
     cos_sim) — approximate by construction; the oracle reproduces the
     same buckets so results match exactly."""
-    banded = banded_buckets(spark, vecs, bands, ppb)
+    banded = banded_buckets(spark, vecs, bands, ppb).withColumn(
+        "nrm", _norm(F.col("v"))
+    )
     queries = banded.filter(query_filter).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "band", "key"
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "band",
+        "key",
     )
     scored = (
         banded.join(F.broadcast(queries), ["band", "key"])
@@ -212,7 +256,9 @@ def lsh_topk(
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cos(F.col("qv"), F.col("v")), 3).alias("cos3"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 3
+            ).alias("cos3"),
         )
         .distinct()  # a pair may collide in several bands; cos3 is a pure
         # function of the pair, so distinct on (q_id, neighbor, cos3) is
@@ -281,17 +327,27 @@ def ivf_topk(
     rank, cos_sim); the oracle reproduces the cells exactly, so results
     match bit-for-bit."""
     cent = vecs.filter(centroid_filter).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+        F.col("vec_id").alias("c_id"),
+        F.col("v").alias("cv"),
+        _norm(F.col("v")).alias("ncv"),
     )
-    codebook = cent.agg(F.collect_list(F.struct("c_id", "cv")).alias("cb"))
-    ranked = vecs.crossJoin(F.broadcast(codebook)).select(
+    codebook = cent.agg(F.collect_list(F.struct("c_id", "cv", "ncv")).alias("cb"))
+    ranked = vecs.withColumn("nv", _norm(F.col("v"))).crossJoin(
+        F.broadcast(codebook)
+    ).select(
         "vec_id",
         "v",
+        "nv",
         F.array_sort(
             F.transform(
                 "cb",
+                # centroid norms ride the codebook struct; the row norm is
+                # a plain column — the transform body is down to one dot
+                # (nv*ncv preserves the dot/(norm_a*norm_b) multiplication order)
                 lambda c: F.struct(
-                    F.round(_cos(F.col("v"), c["cv"]), 6).alias("csim"),
+                    F.round(
+                        _dot(F.col("v"), c["cv"]) / (F.col("nv") * c["ncv"]), 6
+                    ).alias("csim"),
                     c["c_id"].alias("c_id"),
                 ),
             ),
@@ -305,11 +361,12 @@ def ivf_topk(
         ).alias("cells_ranked"),
     )
     cells = ranked.select(
-        "vec_id", "v", F.element_at("cells_ranked", 1)["c_id"].alias("cell")
+        "vec_id", "v", "nv", F.element_at("cells_ranked", 1)["c_id"].alias("cell")
     )
     queries = ranked.filter(query_filter).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("qn"),
         F.explode(
             F.transform(F.slice("cells_ranked", 1, nprobe), lambda s: s["c_id"])
         ).alias("cell"),
@@ -320,7 +377,9 @@ def ivf_topk(
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cos(F.col("qv"), F.col("v")), 3).alias("cos3"),
+            F.round(
+                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nv")), 3
+            ).alias("cos3"),
         )
         .distinct()  # a neighbor sits in ONE cell, but keep the pair-dedup
         # explicit for the nprobe>cell-count edge
