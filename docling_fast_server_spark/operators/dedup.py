@@ -1024,8 +1024,16 @@ ORACLE_DEDUP_SIMHASH_FOLDED = f"""
 # ---------------------------------------------------------------------------
 # embedding near-dup (cosine within random-hyperplane LSH blocks)
 # ---------------------------------------------------------------------------
-EMB_BANDS = 4
-EMB_PLANES_PER_BAND = 6  # 64 buckets per band; OR over 4 bands for recall
+EMB_BANDS = 6
+EMB_PLANES_PER_BAND = 10  # 1024 buckets per band; OR over 6 bands.
+# Near-dup selectivity math (COSINE_THRESHOLD=0.999 -> theta=0.045 rad,
+# per-plane flip p = theta/pi = 1.4%): P(share a band) = 0.9858^10 =
+# 0.867, recall over 6 bands = 1 - 0.133^6 = 0.999994 — while candidate
+# volume drops ~11x vs the former 4x6 (n^2*bands/2^ppb scaling; sf1:
+# ~378M -> ~35M scored pairs). Exact-scaled duplicates (the corpus's
+# actual near-dups, cosine exactly 1) never flip ANY sign bit, so they
+# collide in EVERY band at any setting — the output set is invariant to
+# these constants; only the candidate volume changes.
 
 
 def q_dedup_embedding(spark, sf_dir):
