@@ -25,11 +25,11 @@ exactly reproducible by the DuckDB oracle:
             global distinct-shingle dictionary (distinct + two rank
             windows + executor-wide broadcast) which is billions of rows
             at scale; it is gone.
-- simhash:  idf-weighted sign-sum over mixed universal hashes -> 32-bit
-            fingerprint, byte-banded pigeonhole blocking for hamming<=3
+- simhash:  idf-weighted sign-sum over mixed universal hashes -> 64-bit
+            fingerprint, 16-bit-banded pigeonhole blocking for hamming<=3
             pairs. Document frequency is keyed on the int64 shingle hash
             (partial-agg groupBy + shuffle join, never a broadcast of the
-            distinct set); all 32 bit-stream sums happen in ONE
+            distinct set); all 64 bit-stream sums happen in ONE
             groupBy(doc_id) — no k-way crossJoin row blowup.
 - ngram-jaccard: exact hash-set Jaccard on LSH candidates (the verify
             stage alone — both engines intersect the same int64 hash
@@ -81,7 +81,7 @@ HASH_A = [7, 11, 13, 17, 19, 23, 29, 31]
 HASH_B = [3, 5, 101, 2003, 407, 99, 12, 77]
 SHINGLE = 3
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 HAMMING_MAX = 3
 COSINE_THRESHOLD = 0.999
 NEAR_STEP = 100_000  # mutated near-dup copies
@@ -117,11 +117,11 @@ EXACT_STEP = 200_000  # exact copies
 #      lineage metrics instead of failing silently.
 # Cap sizing: minhash buckets (post-collapse) share a 4-row signature
 # slice drawn from a ~P_HASH^4 key space — only genuine near-dup families
-# collide, so 1024 is generous. The byte-banded simhash (256 keys/band)
-# and hyperplane embedding (2^6 keys/band) blockers have small key
-# spaces whose AVERAGE bucket grows with the corpus; their caps bound the
-# degenerate case while staying far above the gate-scale maxima (sf1:
-# max simhash bucket ~1k of ~61k docs).
+# collide, so 1024 is generous. The 16-bit-banded simhash (65536
+# keys/band) and hyperplane embedding (2^10 keys/band) blockers have
+# finite key spaces whose AVERAGE bucket still grows linearly with the
+# corpus; their caps bound the degenerate case while staying far above
+# the gate-scale maxima.
 MINHASH_BUCKET_CAP = 1024
 SIMHASH_BUCKET_CAP = 4096
 EMB_BUCKET_CAP = 4096
@@ -810,13 +810,22 @@ ORACLE_DEDUP_MINHASH = f"""
 # ---------------------------------------------------------------------------
 # SimHash fingerprints (+ blocked hamming pairs)
 # ---------------------------------------------------------------------------
-SIMHASH_STREAMS = 4  # 4 bit-streams per hash param -> 32-bit fingerprint
+SIMHASH_STREAMS = 8  # 8 bit-streams per hash param -> 64-bit fingerprint
 # (16 bits over an overlap-heavy corpus collides massively: 81k hamming<=3
-# pairs on 550 docs; 32 bits restores discrimination)
+# pairs on 550 docs; 32 bits restored discrimination at toy scale but a
+# 32-bit space still yields P(hamming<=3) ~ 1.3e-6 for RANDOM pairs —
+# ~190k false-positive pairs at sf1's 550k docs — and its 256-key byte
+# bands put ~2.1k docs in every bucket, ~2.4G candidate pairs. 64 bits
+# drops random hamming<=3 to ~2.4e-15 (zero expected false pairs at any
+# realistic corpus) and affords 16-bit band keys: 65k-key bands, ~8
+# docs/bucket at sf1, ~8M candidates — the 100 TB shape. Bit 63 of the
+# signed long is set by adding LONG_MIN (two's complement), identically
+# in both engines.)
+_LONG_MIN = -9223372036854775808
 
 
 def simhash_signatures(spark, sf_dir):
-    """32-bit weighted simhash per document: bit (j, k) set iff the
+    """64-bit weighted simhash per document: bit (j, k) set iff the
     specificity-weighted sign-sum of shingle-hash parities is positive
     under variant k of hash_j. Weight = 1000 div document-frequency
     (integer idf): common shingles cancel out, document-specific shingles
@@ -830,7 +839,15 @@ def simhash_signatures(spark, sf_dir):
     MINHASH_K*SIMHASH_STREAMS bit-sums run in ONE groupBy(doc_id) with no
     crossJoin row blowup. Output: (doc_id, simhash)."""
     corpus = mutated_corpus(spark, sf_dir)
-    rk = _doc_hashsets(corpus).select("doc_id", F.explode("hs").alias("r"))
+    # cache the hash sets (q_dedup_minhash's pattern, same rationale for
+    # the coalesce): rk feeds BOTH sides of the document-frequency join,
+    # and without the cache the per-character Horner fold — the single
+    # most expensive projection in the family — runs twice (sf1: the
+    # signature build measured 144 s uncached vs ~75 s cached; every
+    # stage downstream of the cache totals under 4 s)
+    par = max(corpus.sparkSession.sparkContext.defaultParallelism, 1)
+    hsdf = _register_cache(_doc_hashsets(corpus).coalesce(par))
+    rk = hsdf.select("doc_id", F.explode("hs").alias("r"))
     dfreq = rk.groupBy("r").agg(F.count(F.lit(1)).alias("df"))
     weighted = rk.join(dfreq, "r").withColumn("wt", F.expr("1000 div df"))
     aggs = [
@@ -857,8 +874,14 @@ def simhash_signatures(spark, sf_dir):
     fp = None
     for j in range(MINHASH_K):
         for k in range(SIMHASH_STREAMS):
+            shift = j + k * MINHASH_K
+            # bit 63 of a signed long is LONG_MIN, not 1<<63 (overflow);
+            # adding it sets the bit in two's complement, and the partial
+            # sum stays in range because every other term is a distinct
+            # non-negative power of two (safe under ANSI)
+            bit = _LONG_MIN if shift == 63 else (1 << shift)
             term = (
-                F.when(F.col(f"s_{j}_{k}") > 0, F.lit(1 << (j + k * MINHASH_K)).cast("long"))
+                F.when(F.col(f"s_{j}_{k}") > 0, F.lit(bit).cast("long"))
                 .otherwise(F.lit(0).cast("long"))
             )
             fp = term if fp is None else fp + term
@@ -871,7 +894,11 @@ _SIM_SUMS_SQL = ",\n               ".join(
     for k in range(SIMHASH_STREAMS)
 )
 _SIM_FP_SQL = "\n              + ".join(
-    f"CASE WHEN s_{j}_{k} > 0 THEN CAST(1 AS BIGINT) << {j + k * MINHASH_K} ELSE 0 END"
+    (
+        f"CASE WHEN s_{j}_{k} > 0 THEN (-9223372036854775807 - 1) ELSE 0 END"
+        if j + k * MINHASH_K == 63
+        else f"CASE WHEN s_{j}_{k} > 0 THEN CAST(1 AS BIGINT) << {j + k * MINHASH_K} ELSE 0 END"
+    )
     for j in range(MINHASH_K)
     for k in range(SIMHASH_STREAMS)
 )
@@ -895,19 +922,19 @@ ORACLE_DEDUP_SIMHASH = f"""
 
 def simhash_hamming_pairs(spark, sf_dir):
     """Near-dup pairs: hamming(simhash) <= HAMMING_MAX, blocked on 4
-    byte bands (pigeonhole: <=3 differing bits over 4 bands leaves at
+    16-bit bands (pigeonhole: <=3 differing bits over 4 bands leaves at
     least one band identical), so no all-pairs join exists at scale.
     Buckets hotter than SIMHASH_BUCKET_CAP are suppressed entirely
-    (_drop_hot_buckets — deterministic, oracle-mirrored): the byte-band
-    key space is only 256 per band, so a duplicate-heavy corpus
-    concentrates into few buckets and suppression bounds the self-join's
-    worst case; bucket_tripwire() over the banded relation reports when
-    it bites (the signal to widen the fingerprint/bands)."""
+    (_drop_hot_buckets — deterministic, oracle-mirrored): a
+    duplicate-heavy corpus still concentrates its copies into shared
+    buckets, and suppression bounds the self-join's worst case;
+    bucket_tripwire() over the banded relation reports when it bites
+    (the signal to widen the fingerprint/bands further)."""
     return hamming_pairs_from(simhash_signatures(spark, sf_dir))
 
 
 def hamming_pairs_from(sig: DataFrame) -> DataFrame:
-    """Byte-banded hamming<=HAMMING_MAX pairs from a (doc_id, simhash)
+    """16-bit-banded hamming<=HAMMING_MAX pairs from a (doc_id, simhash)
     relation (see simhash_hamming_pairs for the blocking rationale)."""
     banded = sig.select(
         "doc_id",
@@ -917,11 +944,15 @@ def hamming_pairs_from(sig: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(k).alias("band"),
-                        F.shiftright(F.col("simhash"), 8 * k)
-                        .bitwiseAND(F.lit(255))
+                        F.shiftright(F.col("simhash"), 16 * k)
+                        .bitwiseAND(F.lit(65535))
                         .alias("key"),
                     )
-                    for k in range(4)  # 4 bands x 8 bits of the 32-bit sig
+                    for k in range(4)  # 4 bands x 16 bits of the 64-bit
+                    # sig (shiftright is arithmetic, the mask makes the
+                    # key logical — DuckDB's >> is arithmetic too, so the
+                    # oracle's (simhash >> 16k) & 65535 is identical even
+                    # for bit-63-set negative signatures)
                 ]
             )
         ).alias("bk"),
@@ -948,7 +979,7 @@ def hamming_pairs_from(sig: DataFrame) -> DataFrame:
 # explicit banded + capped CTEs (the r5 oracle's OR-condition join could
 # not express the per-bucket cap; this mirrors the Spark relation 1:1)
 _SIMHASH_BANDED_SQL = "\n        UNION ALL\n        ".join(
-    f"SELECT doc_id, simhash, {k} AS band, (simhash // {256 ** k}) % 256 AS key FROM sig"
+    f"SELECT doc_id, simhash, {k} AS band, (simhash >> {16 * k}) & 65535 AS key FROM sig"
     for k in range(4)
 )
 
