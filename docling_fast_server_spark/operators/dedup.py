@@ -377,20 +377,13 @@ def poly_hash_sql(col: str, base: int = POLY_B, mod: int = POLY_P) -> str:
     )
 
 
-def _doc_hashsets(corpus: DataFrame) -> DataFrame:
-    """(doc_id, hs): the distinct word-SHINGLE-gram hash set per document,
-    computed entirely with higher-order functions — split, transform to
-    shingle strings, poly-hash each, array_distinct. A NARROW projection:
-    there is deliberately NO repartition here, so full document text never
-    rides any exchange — the fold parallelizes via the input layout (at
-    production scale the scan is already thousands of row-group splits;
-    the bench materializes the same many-splits layout once at ingest,
-    bench.py spread tables). Round 2 repartitioned the raw corpus *before*
-    this projection, which shipped every document's text through the
-    shuffle fabric — the one table-wide payload shuffle left in the dedup
-    suite; it is gone, and test_plans asserts no Exchange in this family
-    ever carries the text column. Downstream wide ops (band self-join,
-    |A∩B| verify joins) shuffle only int64 hashes and ids."""
+def _doc_hashsets_hof(corpus: DataFrame) -> DataFrame:
+    """(doc_id, hs) via pure higher-order functions — split, transform to
+    shingle strings, poly-hash each, array_distinct. This is the
+    REFERENCE implementation for the vectorized kernel below (the
+    differential test pins kernel == HOF on real corpora and adversarial
+    whitespace/unicode cases); the hot path is _doc_hashsets. Narrow: no
+    repartition, text never rides any exchange."""
     w = F.split(F.col("text"), " ")
     sh_arr = F.transform(
         F.sequence(F.lit(0), F.size(w) - SHINGLE),
@@ -402,6 +395,115 @@ def _doc_hashsets(corpus: DataFrame) -> DataFrame:
     # from the Python signature, and poly_hash now has (col, base, mod)
     hs = F.array_distinct(F.transform(sh_arr, lambda s: poly_hash(s)))
     return corpus.filter(F.size(w) >= SHINGLE).select("doc_id", hs.alias("hs"))
+
+
+# rolling-hash precompute, cached per worker: powers of POLY_B and of its
+# modular inverse (POLY_P is prime), extended geometrically on demand
+_ROLL_CACHE: dict = {}
+
+
+def _roll_tables(n: int):
+    import numpy as np
+
+    tbl = _ROLL_CACHE.get("t")
+    if tbl is None or len(tbl[0]) <= n:
+        size = max(1024, 2 * (n + 1))
+        inv_b = pow(POLY_B, POLY_P - 2, POLY_P)
+        powt = np.empty(size, dtype=np.int64)
+        invt = np.empty(size, dtype=np.int64)
+        powt[0] = invt[0] = 1
+        p = q = 1
+        for i in range(1, size):
+            p = (p * POLY_B) % POLY_P
+            q = (q * inv_b) % POLY_P
+            powt[i] = p
+            invt[i] = q
+        tbl = (powt, invt)
+        _ROLL_CACHE["t"] = tbl
+    return tbl
+
+
+def _hashset_one(text: str):
+    """Distinct shingle-hash set of one document, first-occurrence order —
+    integer-identical to the HOF path: the Horner fold of a substring
+    equals prefix[e] - prefix[s]*B^(e-s) (mod P), so all shingle hashes
+    come from one vectorized prefix pass over the character codes.
+    Intermediates stay int64-safe: each cumsum term is < P (< 2^30), so
+    the raw cumsum overflows only past ~2^33 characters; mod-muls are
+    products of two residues < P ~ 2^30."""
+    import numpy as np
+
+    if text.isascii():
+        o = np.frombuffer(text.encode(), dtype=np.uint8).astype(np.int64)
+    else:
+        # Spark's split("")/ascii() walk UTF-16-ish code points; Python
+        # iteration matches for all BMP text (astral parity is disclaimed
+        # in poly_hash's docstring — the corpus is ASCII)
+        o = np.array([ord(c) for c in text], dtype=np.int64)
+    n = len(o)
+    spaces = np.flatnonzero(o == 32)
+    starts = np.concatenate(([0], spaces + 1))
+    ends = np.concatenate((spaces, [n]))
+    ntok = len(starts)
+    if ntok < SHINGLE:
+        return None
+    powt, invt = _roll_tables(n)
+    term = (o * powt[n - 1 :: -1]) % POLY_P if n else np.empty(0, dtype=np.int64)
+    s_cum = np.concatenate(([0], np.cumsum(term)))
+    # prefix[i] = H(text[:i]) = (S[i] mod P) * invB^(n-i) mod P
+    s_idx = starts[: ntok - SHINGLE + 1]
+    e_idx = ends[SHINGLE - 1 :]
+    pre_s = (s_cum[s_idx] % POLY_P) * invt[n - s_idx] % POLY_P
+    pre_e = (s_cum[e_idx] % POLY_P) * invt[n - e_idx] % POLY_P
+    h = (pre_e - pre_s * powt[e_idx - s_idx]) % POLY_P
+    _, first = np.unique(h, return_index=True)
+    return h[np.sort(first)]
+
+
+def _doc_hashsets(corpus: DataFrame) -> DataFrame:
+    """(doc_id, hs): the distinct word-SHINGLE-gram hash set per document
+    — the single hottest projection in the dedup family, shared by
+    minhash, simhash, ngram-jaccard and the composed pipeline.
+
+    Implemented as an Arrow-batched mapInArrow kernel computing the
+    polynomial shingle hashes as a vectorized ROLLING hash (prefix
+    hashes + modular inverse of the base; POLY_P is prime) —
+    bit-identical to the HOF reference `_doc_hashsets_hof` (differential-
+    tested), because Horner's intermediate reductions never change the
+    final residue. The HOF form's per-character aggregate lambda is
+    CodegenFallback — interpreted, one boxed eval per character (sf1:
+    73 s for 3M shingles; the kernel does the same work in a few numpy
+    passes per document). Still a NARROW map: no repartition, full text
+    never rides any exchange (plan-asserted in test_plans), downstream
+    wide ops shuffle only int64 hashes and ids."""
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    filtered = corpus.filter(
+        F.size(F.split(F.col("text"), " ")) >= SHINGLE
+    ).select("doc_id", "text")
+    out_schema = T.StructType(
+        [
+            filtered.schema["doc_id"],
+            T.StructField("hs", T.ArrayType(T.LongType(), False), False),
+        ]
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            sets = [_hashset_one(t) for t in texts]
+            keep = [i for i, s in enumerate(sets) if s is not None]
+            if len(keep) != len(sets):  # filter() upstream makes this rare
+                ids = ids.take(pa.array(keep, type=pa.int32()))
+                sets = [sets[i] for i in keep]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array([s.tolist() for s in sets], type=pa.list_(pa.int64()))],
+                names=["doc_id", "hs"],
+            )
+
+    return filtered.mapInArrow(kernel, schema=out_schema)
 
 
 _SHINGLE_EXPR_SQL = (

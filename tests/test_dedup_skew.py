@@ -209,3 +209,31 @@ def test_tripwire_matches_duckdb_oracle(spark, sf_dir):
     con.close()
     assert [tuple(int(x) for x in r) for r in got] == want
     assert want  # at least one band row came back
+
+
+def test_hashset_kernel_matches_hof_reference(spark, sf_dir):
+    """The vectorized rolling-hash mapInArrow kernel must be integer-
+    identical to the pure-HOF reference on the real mutated corpus AND
+    on adversarial whitespace/unicode/duplicate-shingle cases (first-
+    occurrence distinct order included)."""
+    from docling_fast_server_spark.operators import dedup
+
+    corpus = dedup.mutated_corpus(spark, sf_dir)
+    got = {r.doc_id: list(r.hs) for r in dedup._doc_hashsets(corpus).collect()}
+    want = {r.doc_id: list(r.hs) for r in dedup._doc_hashsets_hof(corpus).collect()}
+    assert got == want and len(got) > 0
+
+    cases = [
+        (1, "a b c"),
+        (2, "a  b   c d"),  # empty tokens between multiple spaces
+        (3, " lead and trail "),
+        (4, "tok " * 500),
+        (5, "unicode café naïve résumé again"),
+        (6, "a b c a b c a b c"),  # duplicate shingles -> distinct order
+        (7, "ab cd"),  # fewer tokens than SHINGLE -> filtered out
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {r.doc_id: list(r.hs) for r in dedup._doc_hashsets(df).collect()}
+    want = {r.doc_id: list(r.hs) for r in dedup._doc_hashsets_hof(df).collect()}
+    assert got == want
+    assert 7 not in got
