@@ -295,9 +295,15 @@ ORACLE_SIM_ANN_LSH = f"""
 """
 
 
-IVF_CENTROID_MOD = 37  # vectors with vec_id % 37 == 1 are the centroids
-# (~n/37 cells — the deterministic stand-in for a k-means codebook; at
-# scale the codebook is a trained side table, same plan shape)
+IVF_CENTROID_MOD = 337  # vectors with vec_id % 337 == 1 are the centroids
+# (~n/337 cells — the deterministic stand-in for a k-means codebook; at
+# scale the codebook is a trained side table, same plan shape. Sized so
+# the certification scale is REALISTIC IVF: sf1's 110k vectors get ~326
+# cells ≈ sqrt(n), the classic IVF-flat sizing — the former mod 37 gave
+# 2,973 cells there, and the n_vectors x n_cells assignment transform,
+# not the candidate join, dominated the query. Assignment cost drops 9x;
+# at the toy gate scales the codebook degenerates to a handful of cells,
+# where nprobe=4 covers most of them and recall approaches brute force.)
 IVF_NPROBE = 4  # query searches its top-4 cells — the standard IVF
 # recall knob (single-probe on near-uniform vectors recalls ~0.07;
 # nprobe=4 ≈ 0.3 at ~30% scan share; clustered real data needs fewer)
@@ -338,26 +344,32 @@ def ivf_topk(
         "vec_id",
         "v",
         "nv",
-        F.array_sort(
+        F.sort_array(
             F.transform(
                 "cb",
                 # centroid norms ride the codebook struct; the row norm is
                 # a plain column — the transform body is down to one dot
-                # (nv*ncv preserves the dot/(norm_a*norm_b) multiplication order)
+                # (nv*ncv preserves the dot/(norm_a*norm_b) multiplication order).
+                # Sort key: struct(csim, -c_id) DESCENDING == (csim desc,
+                # c_id asc) via sort_array's codegen struct comparator —
+                # the former custom-lambda comparator was interpreted per
+                # COMPARISON (~c*log c boxed evals per row, the IVF hot
+                # spot at sf1). `+ 0.0` normalizes a rounded -0.0 to +0.0
+                # so Double.compare's -0.0 < 0.0 cannot split a tie the
+                # SQL comparisons (and the DuckDB oracle) treat as equal;
+                # csim is sort-key-only, never emitted.
                 lambda c: F.struct(
-                    F.round(
-                        _dot(F.col("v"), c["cv"]) / (F.col("nv") * c["ncv"]), 6
+                    (
+                        F.round(
+                            _dot(F.col("v"), c["cv"]) / (F.col("nv") * c["ncv"]), 6
+                        )
+                        + F.lit(0.0)
                     ).alias("csim"),
+                    (-c["c_id"]).alias("neg_id"),
                     c["c_id"].alias("c_id"),
                 ),
             ),
-            lambda a, b: (
-                F.when(a["csim"] > b["csim"], F.lit(-1))
-                .when(a["csim"] < b["csim"], F.lit(1))
-                .when(a["c_id"] < b["c_id"], F.lit(-1))
-                .when(a["c_id"] > b["c_id"], F.lit(1))
-                .otherwise(F.lit(0))
-            ),
+            asc=False,
         ).alias("cells_ranked"),
     )
     cells = ranked.select(
