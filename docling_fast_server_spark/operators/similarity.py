@@ -183,17 +183,15 @@ def planes_sql(n_planes: int) -> str:
     """
 
 
-def banded_buckets(spark, vecs: DataFrame, bands: int, ppb: int) -> DataFrame:
-    """(vec_id, v, band, key): per-band sign-bit LSH key over
-    bands*ppb deterministic hyperplanes — computed in ONE narrow
-    projection. The planes are deterministic literals (plane_values), so
-    every band key is a sum of sign bits of literal-array dot products:
-    no plane table, no crossJoin, no groupBy — ZERO exchanges before the
-    candidate join, at any corpus size. (Round 2 exploded each row
-    x(bands*ppb) against a broadcast plane table and re-grouped on
-    (vec_id, band), shuffling bands*n rows each carrying the full
-    vector.) Scaling a vector by a positive constant never flips a sign
-    bit, so exact-scaled near-duplicates always share every band key."""
+def banded_buckets_hof(spark, vecs: DataFrame, bands: int, ppb: int) -> DataFrame:
+    """(vec_id, v, band, key) via pure higher-order functions — the
+    REFERENCE implementation for the vectorized kernel below
+    (differential-tested equal); the hot path is banded_buckets. The
+    planes are deterministic literals (plane_values): no plane table, no
+    crossJoin, no groupBy — zero exchanges before the candidate join.
+    (Round 2 exploded each row x(bands*ppb) against a broadcast plane
+    table and re-grouped on (vec_id, band), shuffling bands*n rows each
+    carrying the full vector.)"""
     planes = plane_values(bands * ppb)
 
     def _key(b: int):
@@ -214,6 +212,66 @@ def banded_buckets(spark, vecs: DataFrame, bands: int, ppb: int) -> DataFrame:
     return vecs.select("vec_id", "v", bk.alias("bk")).select(
         "vec_id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def banded_buckets(spark, vecs: DataFrame, bands: int, ppb: int) -> DataFrame:
+    """(vec_id, v, band, key): per-band sign-bit LSH key over bands*ppb
+    deterministic hyperplanes, as an Arrow-batched mapInArrow kernel.
+
+    The HOF reference (banded_buckets_hof) evaluates one interpreted
+    aggregate(zip_with) fold per plane per row — bands*ppb*DIM boxed
+    evals plus a DIM-array allocation each (sf1: 60 planes x 119k
+    vectors on the embedding path). The kernel computes every plane dot
+    in DIM vectorized passes with LEFT-TO-RIGHT accumulation (acc +=
+    V[:,i]*plane[i], seeded by the first product — associating exactly
+    like the HOF fold from its 0.0 seed), so each sign bit and band key
+    is bit-identical; a differential test pins kernel == HOF. Scaling a
+    vector by a positive constant never flips a sign bit, so
+    exact-scaled near-duplicates always share every band key. Still
+    narrow: no exchange before the candidate join, at any corpus size;
+    the mapInArrow boundary also materializes derived vector expressions
+    (e.g. the mutated corpus's v*1.01) exactly once."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    planes = np.array(plane_values(bands * ppb), dtype=np.float64)
+    sel = vecs.select("vec_id", "v")
+    out_schema = T.StructType(
+        [
+            sel.schema["vec_id"],
+            sel.schema["v"],
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("key", T.IntegerType(), False),
+        ]
+    )
+
+    def kernel(batches):
+        for batch in batches:
+            ids, varr = batch.column(0), batch.column(1)
+            n = len(ids)
+            if n == 0:
+                continue
+            flat = varr.flatten().to_numpy(zero_copy_only=False)
+            V = flat.reshape(n, DIM)
+            keys = np.zeros((n, bands), dtype=np.int32)
+            for p in range(bands * ppb):
+                acc = V[:, 0] * planes[p, 0]
+                for i in range(1, DIM):
+                    acc = acc + V[:, i] * planes[p, i]
+                keys[:, p // ppb] |= (acc > 0).astype(np.int32) << (p % ppb)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(idx),
+                    varr.take(idx),
+                    pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                    pa.array(keys.reshape(-1)),
+                ],
+                names=["vec_id", "v", "band", "key"],
+            )
+
+    return sel.mapInArrow(kernel, schema=out_schema)
 
 
 def banded_buckets_sql(bands: int, ppb: int) -> str:

@@ -366,3 +366,26 @@ def test_png_decoder_roundtrip_any_image(w, h, seed, filters, level):
         + chunk(b"IEND", b"")
     )
     assert _decode_png(f) == (w, h, sum(sum(r) for r in pix))
+
+
+def test_banded_buckets_kernel_matches_hof_reference(spark, sf_dir):
+    """The vectorized banding kernel (numpy left-to-right plane dots)
+    must produce bit-identical (vec_id, band, key, v) rows to the pure
+    HOF reference at BOTH production plane configurations."""
+    from docling_fast_server_spark.operators import dedup
+    from docling_fast_server_spark.operators import similarity as S
+
+    vecs = S._vecs(spark, sf_dir)
+    for bands, ppb in [
+        (S.ANN_BANDS, S.ANN_PLANES_PER_BAND),
+        (dedup.EMB_BANDS, dedup.EMB_PLANES_PER_BAND),
+    ]:
+        got = {
+            (r.vec_id, r.band): (r.key, tuple(r.v))
+            for r in S.banded_buckets(spark, vecs, bands, ppb).collect()
+        }
+        want = {
+            (r.vec_id, r.band): (r.key, tuple(r.v))
+            for r in S.banded_buckets_hof(spark, vecs, bands, ppb).collect()
+        }
+        assert got == want and len(got) > 0
