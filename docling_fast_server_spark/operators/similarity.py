@@ -209,8 +209,9 @@ def banded_buckets_hof(spark, vecs: DataFrame, bands: int, ppb: int) -> DataFram
             ]
         )
     )
-    return vecs.select("vec_id", "v", bk.alias("bk")).select(
-        "vec_id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    all_keys = F.array(*[_key(b) for b in range(bands)])
+    return vecs.select("vec_id", "v", bk.alias("bk"), all_keys.alias("keys")).select(
+        "vec_id", "v", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"), "keys"
     )
 
 
@@ -243,6 +244,10 @@ def banded_buckets(spark, vecs: DataFrame, bands: int, ppb: int) -> DataFrame:
             sel.schema["v"],
             T.StructField("band", T.IntegerType(), False),
             T.StructField("key", T.IntegerType(), False),
+            # every band key of the row — lets a consumer pick ONE
+            # surviving row per colliding pair with a tiny codegen CASE
+            # (first shared band) instead of a table-wide distinct
+            T.StructField("keys", T.ArrayType(T.IntegerType(), False), False),
         ]
     )
 
@@ -261,14 +266,16 @@ def banded_buckets(spark, vecs: DataFrame, bands: int, ppb: int) -> DataFrame:
                     acc = acc + V[:, i] * planes[p, i]
                 keys[:, p // ppb] |= (acc > 0).astype(np.int32) << (p % ppb)
             idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), bands))
+            keys_arr = pa.array(keys.tolist(), type=pa.list_(pa.int32()))
             yield pa.RecordBatch.from_arrays(
                 [
                     ids.take(idx),
                     varr.take(idx),
                     pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
                     pa.array(keys.reshape(-1)),
+                    keys_arr.take(idx),
                 ],
-                names=["vec_id", "v", "band", "key"],
+                names=["vec_id", "v", "band", "key", "keys"],
             )
 
     return sel.mapInArrow(kernel, schema=out_schema)
@@ -305,12 +312,29 @@ def lsh_topk(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
+        F.col("keys").alias("qkeys"),
         "band",
         "key",
     )
+    # a pair colliding in several bands joins once PER shared band; keep
+    # only the row whose band is the FIRST shared band — both sides carry
+    # their full key vector, so this is a tiny codegen CASE per row and
+    # replaces a table-wide distinct (a full shuffle of every scored
+    # candidate: ~240M rows at sf1) with a map-side filter. Same result
+    # set — cos3 is a pure function of the pair, and exactly one joined
+    # row per pair has band == first shared band. (Valid ONLY because
+    # this join has no hot-bucket suppression: with a cap, the first
+    # shared band's bucket could be dropped while a later one survives —
+    # dedup_embedding keeps its distinct for exactly that reason.)
+    first_shared = F.lit(-1)
+    for b in reversed(range(bands)):
+        first_shared = F.when(
+            F.col("keys")[b] == F.col("qkeys")[b], F.lit(b)
+        ).otherwise(first_shared)
     scored = (
         banded.join(F.broadcast(queries), ["band", "key"])
         .filter(F.col("vec_id") != F.col("q_id"))
+        .filter(F.col("band") == first_shared)
         .select(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
@@ -318,9 +342,6 @@ def lsh_topk(
                 _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 3
             ).alias("cos3"),
         )
-        .distinct()  # a pair may collide in several bands; cos3 is a pure
-        # function of the pair, so distinct on (q_id, neighbor, cos3) is
-        # exactly pair-dedup
     )
     return _rank_topk(scored, k)
 

@@ -381,11 +381,11 @@ def test_banded_buckets_kernel_matches_hof_reference(spark, sf_dir):
         (dedup.EMB_BANDS, dedup.EMB_PLANES_PER_BAND),
     ]:
         got = {
-            (r.vec_id, r.band): (r.key, tuple(r.v))
+            (r.vec_id, r.band): (r.key, tuple(r.keys), tuple(r.v))
             for r in S.banded_buckets(spark, vecs, bands, ppb).collect()
         }
         want = {
-            (r.vec_id, r.band): (r.key, tuple(r.v))
+            (r.vec_id, r.band): (r.key, tuple(r.keys), tuple(r.v))
             for r in S.banded_buckets_hof(spark, vecs, bands, ppb).collect()
         }
         assert got == want and len(got) > 0
