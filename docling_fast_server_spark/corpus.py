@@ -334,7 +334,9 @@ def docs_raw(spark, sf_dir: str, which: str = "all", skew: bool = False):
 
     from .model import SPANS_TYPE
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    from .tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     if which == "html":
         docs = docs.filter(F.col("doc_id") % 2 == 0)
     elif which == "pdf":

@@ -163,7 +163,9 @@ def bucket_tripwire(banded: DataFrame, cap: int) -> DataFrame:
 
 
 def _docs(spark, sf_dir) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    from ..tables import read_table
+
+    return read_table(spark, sf_dir, "documents").select("doc_id", "text")
 
 
 # Persisted intermediates (the per-doc hash-set fold feeds 2-3 consumers
@@ -275,15 +277,12 @@ def mutated_corpus(spark, sf_dir) -> DataFrame:
     """base ∪ near-dup copies (every 10th, +' xtra token end') ∪ exact
     copies (every 25th). Deterministic; mirrored in oracle SQL."""
     base = _docs(spark, sf_dir)
-    near = (
-        base.filter(F.col("doc_id") % 10 == 0)
-        .select(
-            (F.col("doc_id") + NEAR_STEP).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" xtra token end")).alias("text"),
-        )
+    near = base.filter("doc_id % 10 = 0").selectExpr(
+        f"doc_id + {NEAR_STEP} AS doc_id",
+        "concat(text, ' xtra token end') AS text",
     )
-    exact = base.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + EXACT_STEP).alias("doc_id"), "text"
+    exact = base.filter("doc_id % 25 = 0").selectExpr(
+        f"doc_id + {EXACT_STEP} AS doc_id", "text"
     )
     return base.unionByName(near).unionByName(exact)
 
@@ -479,9 +478,9 @@ def _doc_hashsets(corpus: DataFrame) -> DataFrame:
     import pyarrow as pa
     from pyspark.sql import types as T
 
-    filtered = corpus.filter(
-        F.size(F.split(F.col("text"), " ")) >= SHINGLE
-    ).select("doc_id", "text")
+    filtered = corpus.filter(f"size(split(text, ' ')) >= {SHINGLE}").select(
+        "doc_id", "text"
+    )
     out_schema = T.StructType(
         [
             filtered.schema["doc_id"],
@@ -542,6 +541,13 @@ def _uhash_sql(j: int, col: str) -> str:
 # ---------------------------------------------------------------------------
 # MinHash + LSH banding + exact-Jaccard verify
 # ---------------------------------------------------------------------------
+_JACCARD_EXPR = (
+    "round(CAST(size(array_intersect(hs_a, hs_b)) AS BIGINT) / "
+    "((size(hs_a) + size(hs_b)) - CAST(size(array_intersect(hs_a, hs_b)) AS BIGINT)), 4) "
+    "AS jaccard"
+)
+
+
 def _verify_jaccard(hsdf: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact hash-set Jaccard for an explicit (doc_a, doc_b) pair list:
     join each side's hash SET array to the pair and intersect NARROWLY
@@ -552,20 +558,16 @@ def _verify_jaccard(hsdf: DataFrame, pairs: DataFrame) -> DataFrame:
     run even when candidates were rare. The pair side is tiny relative
     to the corpus, so AQE broadcast-joins it against the hash sets and
     the hsdf side never shuffles. Output (doc_a, doc_b, jaccard),
-    unfiltered."""
-    hs_a = hsdf.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"))
-    hs_b = hsdf.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"))
-    shared = F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+    unfiltered. (r8: expressions built as precomputed SQL strings —
+    identical Catalyst trees at ~1/500 the py4j construction cost; the
+    shared-intersect subexpression appears twice exactly as the former
+    Column reuse duplicated it, and codegen CSEs it either way.)"""
+    hs_a = hsdf.selectExpr("doc_id AS doc_a", "hs AS hs_a")
+    hs_b = hsdf.selectExpr("doc_id AS doc_b", "hs AS hs_b")
     return (
         pairs.join(hs_a, "doc_a")
         .join(hs_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                shared / (F.size("hs_a") + F.size("hs_b") - shared), 4
-            ).alias("jaccard"),
-        )
+        .selectExpr("doc_a", "doc_b", _JACCARD_EXPR)
     )
 
 
@@ -627,6 +629,38 @@ def _sig_col(j: int):
     return F.array_min(F.transform(F.col("hs"), lambda h: _uhash(j, h))).alias(f"h{j}")
 
 
+# r8 build-cost twins of _sig_col/_set_fold/_band_structs for the HOT
+# query path: module-level SQL strings parsed JVM-side in ONE call per
+# selectExpr. Constructing the same trees through the Python Column API
+# costs ~2 ms of py4j latency PER OPERATOR (measured: the minhash build
+# alone was 0.93-0.96 s per bench rep, pure driver latency inside the
+# timed region). The parsed expressions are the identical Catalyst trees
+# — test_dedup_skew still builds the naive pipeline from the Column
+# helpers above and pins output equality, and test_minhash_expr_twins
+# pins the twin columns value-equal to the helper columns directly.
+_SIG_EXPRS = [
+    f"array_min(transform(hs, uh -> (({HASH_A[j]} * uh + {HASH_B[j]}) % {P_HASH})"
+    f" * {MIXP} % {P_HASH})) AS h{j}"
+    for j in range(MINHASH_K)
+]
+
+
+def _set_fold_expr(base: int, mod: int, alias: str) -> str:
+    return (
+        f"aggregate(array_sort(hs), CAST(0 AS BIGINT), "
+        f"(sf_acc, sf_x) -> (sf_acc * {base} + sf_x) % {mod}) AS {alias}"
+    )
+
+
+_H_COLS = [f"h{j}" for j in range(MINHASH_K)]
+_BAND_STRUCT_EXPRS = ", ".join(
+    f"named_struct('band', CAST({b} AS INT), 'key', concat_ws(':', "
+    + ", ".join(_H_COLS[b * BAND_ROWS : (b + 1) * BAND_ROWS])
+    + "))"
+    for b in range(N_BANDS)
+)
+
+
 def _band_structs():
     # built lazily: classic PySpark Column construction needs a live JVM,
     # so module import must stay Column-free
@@ -685,11 +719,11 @@ def _minhash_stages(corpus: DataFrame, bucket_cap: int):
     # AQE stages race to materialize a cold cache, each re-running its
     # lineage from the previous cache — measured at ~0.35 s per racing
     # consumer at sf0.1.
-    combined = hsdf.select(
+    combined = hsdf.selectExpr(
         "doc_id",
-        *[_sig_col(j) for j in range(MINHASH_K)],
-        _set_fold(F.col("hs"), SETF_B1, SETF_P1).alias("f1"),
-        _set_fold(F.col("hs"), SETF_B2, SETF_P2).alias("f2"),
+        *_SIG_EXPRS,
+        _set_fold_expr(SETF_B1, SETF_P1, "f1"),
+        _set_fold_expr(SETF_B2, SETF_P2, "f2"),
     )
     cliq = (
         combined.groupBy("f1", "f2")
@@ -700,23 +734,23 @@ def _minhash_stages(corpus: DataFrame, bucket_cap: int):
         .filter(F.col("c_size") > 1)
     )
     tagged = _register_cache(
-        combined.join(cliq, ["f1", "f2"], "left").select(
+        combined.join(cliq, ["f1", "f2"], "left").selectExpr(
             "doc_id",
-            *[f"h{j}" for j in range(MINHASH_K)],
-            F.coalesce(F.col("c_rep"), F.col("doc_id")).alias("rep"),
-            F.coalesce(F.col("c_size"), F.lit(1).cast("long")).alias("csize"),
+            *_H_COLS,
+            "coalesce(c_rep, doc_id) AS rep",
+            "coalesce(c_size, CAST(1 AS BIGINT)) AS csize",
         )
     )
-    rep_sig = tagged.filter(F.col("doc_id") == F.col("rep"))
-    bands = rep_sig.select(
-        "doc_id", F.explode(F.array(*_band_structs())).alias("bk")
+    rep_sig = tagged.filter("doc_id = rep")
+    bands = rep_sig.selectExpr(
+        "doc_id", f"explode(array({_BAND_STRUCT_EXPRS})) AS bk"
     ).select("doc_id", "bk.band", "bk.key")
     capped = _drop_hot_buckets(bands, bucket_cap)
     cand = (
         capped.alias("x")
         .join(capped.alias("y"), ["band", "key"])
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .filter("x.doc_id < y.doc_id")
+        .selectExpr("x.doc_id AS doc_a", "y.doc_id AS doc_b")
         .distinct()
     )
     return hsdf, tagged, rep_sig, cand, bands
@@ -779,27 +813,18 @@ def _minhash_pairs_impl(
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, banded) — shared by minhash_pairs and the diag variant."""
     hsdf, tagged, rep_sig, cand, bands = _minhash_stages(corpus, bucket_cap)
-    ver = _verify_jaccard(hsdf, cand).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    diag = rep_sig.filter(F.col("csize") > 1).select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("doc_id").alias("doc_b"),
-        F.lit(1.0).alias("jaccard"),
+    ver = _verify_jaccard(hsdf, cand).filter(f"jaccard >= {JACCARD_THRESHOLD}D")
+    diag = rep_sig.filter("csize > 1").selectExpr(
+        "doc_id AS doc_a", "doc_id AS doc_b", "CAST(1.0 AS DOUBLE) AS jaccard"
     )
     rep_pairs = ver.unionByName(diag)
-    ma = tagged.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("a"))
-    mb = tagged.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("b"))
+    ma = tagged.selectExpr("rep AS doc_a", "doc_id AS a")
+    mb = tagged.selectExpr("rep AS doc_b", "doc_id AS b")
     pairs = (
         rep_pairs.join(ma, "doc_a")
         .join(mb, "doc_b")
-        .filter(
-            (F.col("a") < F.col("b"))
-            | ((F.col("doc_a") != F.col("doc_b")) & (F.col("a") > F.col("b")))
-        )
-        .select(
-            F.least("a", "b").alias("doc_a"),
-            F.greatest("a", "b").alias("doc_b"),
-            "jaccard",
-        )
+        .filter("(a < b) OR ((NOT (doc_a = doc_b)) AND (a > b))")
+        .selectExpr("least(a, b) AS doc_a", "greatest(a, b) AS doc_b", "jaccard")
     )
     return pairs, bands
 
@@ -1180,7 +1205,9 @@ def q_dedup_embedding(spark, sf_dir):
     (cosine exactly 1). Output: (vec_a, vec_b, cos_sim)."""
     from .similarity import banded_buckets
 
-    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    from ..tables import read_table
+
+    base = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     near = base.filter(F.col("vec_id") % 10 == 0).select(
@@ -1192,14 +1219,17 @@ def q_dedup_embedding(spark, sf_dir):
     # 2^6 keys/band: small key space, so bound the bucket self-join's
     # worst case with deterministic hot-bucket suppression
     # (oracle-mirrored; bucket_tripwire reports when it bites)
-    from .similarity import _dot as dot
+    from .similarity import _route_dot
 
-    # unrolled codegen dot + per-ROW norms (similarity._dot — bit-identical
-    # to the former aggregate(zip_with) fold; one dot per candidate pair
-    # instead of three interpreted HOF evaluations). v is a materialized
-    # attribute here (the banding Generate is a projection barrier), so
-    # the unrolled element accesses are plain GetArrayItems — no
-    # expression-tree blowup (see similarity._dot_hof).
+    dot = _route_dot(sf_dir)
+    # scale-routed dot (similarity._route_dot): the codegen-unrolled form
+    # above the row-count crossover (bit-identical to the aggregate(
+    # zip_with) fold; one dot per candidate pair instead of three
+    # interpreted HOF evaluations), the HOF fold below it where the
+    # unrolled expression's fixed per-execution codegen cost dominates.
+    # v is a materialized attribute here (the banding Generate is a
+    # projection barrier), so the unrolled element accesses are plain
+    # GetArrayItems — no expression-tree blowup (see similarity._dot_hof).
     capped = _drop_hot_buckets(banded, EMB_BUCKET_CAP).withColumn(
         "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )

@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # declared schema: no per-call footer inference (tables.read_table)
+    from ..tables import read_table
+
+    return read_table(spark, sf_dir, name)
 
 
 # --- P5/A1: status histogram (queue_manager.py:853-858, jobs.py:114-118) --
@@ -463,7 +466,7 @@ QUERIES = {
 # --- §2.7 grouping sets: ROLLUP over (event_type, user band) — subtotal +
 # grand-total rows in one pass (partial-aggregated, no repeated scans) ------
 def q_rollup_stats(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+    ev = _t(spark, sf_dir, "events").withColumn(
         "user_band", (F.col("user_id") % 10).cast("long")
     )
     # exact integer cents: per-row round then integer sum — immune to the
@@ -482,7 +485,7 @@ WINDOW_S = 6 * 3600
 
 
 def q_event_window_counts(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _t(spark, sf_dir, "events")
     bucket = (F.floor(F.unix_timestamp("ts") / WINDOW_S) * WINDOW_S).cast("long")
     cents = F.round(F.col("value") * 100).cast("long")
     return ev.groupBy(bucket.alias("window_start"), "event_type").agg(
@@ -539,7 +542,7 @@ def sample_slot(col):
 
 def q_sample_hash(spark, sf_dir):
     """Keep the ~1/SAMPLE_PCT_MOD hash sample (see sample_slot)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _t(spark, sf_dir, "documents")
     slot = sample_slot(F.col("doc_id"))
     return (
         docs.filter(slot == 0)
@@ -553,7 +556,7 @@ def q_sample_hash(spark, sf_dir):
 def q_grouped_median(spark, sf_dir):
     from pyspark.sql import Window
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     base = ev.select("event_type", cents.alias("cents"), "event_id")
     w = Window.partitionBy("event_type").orderBy("cents", "event_id")

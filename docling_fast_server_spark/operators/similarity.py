@@ -57,7 +57,9 @@ _MIX = 2654435761  # Knuth multiplicative constant
 
 
 def _vecs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    from ..tables import read_table
+
+    return read_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
@@ -95,6 +97,49 @@ def _norm(a):
     return F.sqrt(_dot_hof(a, a))
 
 
+# Scale routing for the per-PAIR dot (round-7 verdict item: the unrolled
+# codegen dot carries a fixed per-execution plan/codegen cost of ~0.5-0.6 s
+# per stage that embeds it — measured this round on the isolated scored
+# stage: 0.95 s unrolled vs 0.40 s HOF at sf0.1's 2,000 vectors — repaid
+# only when the pair count is large (sf1, 119k vectors: 80 s unrolled vs
+# 161 s HOF for the full brute query). Route by the TABLE's row count:
+# below the crossover the interpreted HOF fold is cheaper than compiling
+# the 64-term expression; above it codegen wins by 2x. Crossover math:
+# compile tax ~0.6 s / (hof-minus-codegen per-pair ~0.3 us) ~ 2M pairs
+# ~ 10k vectors at the n^2/QUERY_MOD pair count. Both forms are
+# bit-identical (IEEE left-to-right association from a 0.0 seed), so the
+# route can never change a result — pinned by test_dot_route_equivalence.
+CODEGEN_MIN_ROWS = 10_000
+
+
+def _parquet_num_rows(path: str) -> int | None:
+    """Row count from parquet footers (driver-side metadata only, no
+    Spark job — the same information a table catalog serves for free).
+    Returns None when the path is not locally statable (non-local FS);
+    callers then take the codegen route, the safe-at-scale default."""
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as _pq
+
+        files = (
+            [path]
+            if _os.path.isfile(path)
+            else _glob.glob(_os.path.join(path, "*.parquet"))
+        )
+        if not files:
+            return None
+        return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
+def _route_dot(sf_dir: str):
+    n = _parquet_num_rows(f"{sf_dir}/embeddings.parquet")
+    return _dot if n is None or n >= CODEGEN_MIN_ROWS else _dot_hof
+
+
 def _rank_topk(scored, k: int):
     """(q_id, neighbor_id, cos3) -> top-k per query with the coarse-round
     + id tiebreak rank (WindowGroupLimit pushes the filter into the
@@ -107,12 +152,16 @@ def _rank_topk(scored, k: int):
     )
 
 
-def brute_topk(vecs: DataFrame, query_filter, k: int = TOPK) -> DataFrame:
+def brute_topk(vecs: DataFrame, query_filter, k: int = TOPK, dot=None) -> DataFrame:
     """Exact cosine top-k of every query_filter row against the full
     table. Query side is tiny -> broadcast; the scan side stays
     partition-parallel via the input layout (no repartition — a
     production table is thousands of splits; the bench materializes the
-    same layout). Output (q_id, neighbor_id, rank, cos_sim)."""
+    same layout). ``dot`` picks the per-pair dot implementation (default
+    the codegen-unrolled form — see _route_dot for the scale routing;
+    both forms are bit-identical). Output (q_id, neighbor_id, rank,
+    cos_sim)."""
+    dot = dot or _dot
     queries = vecs.filter(query_filter).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
@@ -128,7 +177,7 @@ def brute_topk(vecs: DataFrame, query_filter, k: int = TOPK) -> DataFrame:
             # one dot per pair; norms precomputed per ROW (same doubles,
             # qn*nrm preserves the dot/(norm_a*norm_b) multiplication order)
             F.round(
-                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 3
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 3
             ).alias("cos3"),
         )
     )
@@ -136,7 +185,12 @@ def brute_topk(vecs: DataFrame, query_filter, k: int = TOPK) -> DataFrame:
 
 
 def q_sim_topk_brute(spark, sf_dir):
-    return brute_topk(_vecs(spark, sf_dir), F.col("vec_id") % QUERY_MOD == 0, TOPK)
+    return brute_topk(
+        _vecs(spark, sf_dir),
+        F.col("vec_id") % QUERY_MOD == 0,
+        TOPK,
+        dot=_route_dot(sf_dir),
+    )
 
 
 ORACLE_SIM_TOPK_BRUTE = f"""
@@ -298,13 +352,16 @@ def lsh_topk(
     k: int = ANN_TOPK,
     bands: int = ANN_BANDS,
     ppb: int = ANN_PLANES_PER_BAND,
+    dot=None,
 ) -> DataFrame:
     """Multi-band LSH approximate top-k: candidates share the query's
     full bit-key in >=1 band (OR-construction). The scan side never
     shuffles: bucket keys are a narrow projection (banded_buckets) and
     the query side is broadcast. Output (q_id, neighbor_id, rank,
     cos_sim) — approximate by construction; the oracle reproduces the
-    same buckets so results match exactly."""
+    same buckets so results match exactly. ``dot`` routes the per-pair
+    dot exactly as in brute_topk (bit-identical either way)."""
+    dot = dot or _dot
     banded = banded_buckets(spark, vecs, bands, ppb).withColumn(
         "nrm", _norm(F.col("v"))
     )
@@ -339,7 +396,7 @@ def lsh_topk(
             "q_id",
             F.col("vec_id").alias("neighbor_id"),
             F.round(
-                _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 3
+                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 3
             ).alias("cos3"),
         )
     )
@@ -347,7 +404,12 @@ def lsh_topk(
 
 
 def q_sim_ann_lsh(spark, sf_dir):
-    return lsh_topk(spark, _vecs(spark, sf_dir), F.col("vec_id") % QUERY_MOD == 0)
+    return lsh_topk(
+        spark,
+        _vecs(spark, sf_dir),
+        F.col("vec_id") % QUERY_MOD == 0,
+        dot=_route_dot(sf_dir),
+    )
 
 
 ORACLE_SIM_ANN_LSH = f"""

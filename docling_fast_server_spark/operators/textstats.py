@@ -35,7 +35,9 @@ FP_MOD = 2_147_483_647  # 2^31 - 1; (h+1)*(pos+1) < 2^61 and
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ..tables import read_table
+
+    return read_table(spark, sf_dir, "documents")
 
 
 # BPE-ish subword proxy: alnum runs + each punctuation mark its own token

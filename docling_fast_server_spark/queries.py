@@ -364,7 +364,9 @@ def q_compaction_stats(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix="dfss_compactq_")
     path = f"{tmp}/t"
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
     docs.repartition(16).write.mode("overwrite").parquet(path)
     files_before = table_stats(path)["n_files"]
     rows_before = spark.read.parquet(path).count()
@@ -394,7 +396,9 @@ def q_retention_sweep(spark, sf_dir):
 
     tmp = tempfile.mkdtemp(prefix="dfss_retainq_")
     path = f"{tmp}/t"
-    spark.read.parquet(f"{sf_dir}/documents.parquet").write.mode("overwrite").parquet(path)
+    from .tables import read_table
+
+    read_table(spark, sf_dir, "documents").write.mode("overwrite").parquet(path)
     n_deleted = retention_delete(spark, path, "doc_id % 5 = 0")
     kept = spark.read.parquet(path)
     return kept.groupBy((F.col("doc_id") % 5).cast("long").alias("band")).agg(

@@ -389,3 +389,28 @@ def test_banded_buckets_kernel_matches_hof_reference(spark, sf_dir):
             for r in S.banded_buckets_hof(spark, vecs, bands, ppb).collect()
         }
         assert got == want and len(got) > 0
+
+
+def test_dot_route_equivalence(spark, sf_dir):
+    """The scale-routed dot (r8: HOF fold below CODEGEN_MIN_ROWS, the
+    codegen-unrolled sum above) can never change a result: both forms
+    associate left-to-right from the same seed, so the FULL output rows
+    (ranks and cos_sim included) must be identical under either route,
+    and the router must pick the HOF form at gate scale."""
+    from pyspark.sql import functions as F
+
+    from docling_fast_server_spark.operators import similarity as S
+
+    assert S._route_dot(sf_dir) is S._dot_hof  # 500 rows < CODEGEN_MIN_ROWS
+    assert S._parquet_num_rows(f"{sf_dir}/embeddings.parquet") == 500
+    assert S._parquet_num_rows("/nonexistent/path") is None
+
+    vecs = S._vecs(spark, sf_dir)
+    qf = F.col("vec_id") % S.QUERY_MOD == 0
+    for q in (
+        lambda dot: S.brute_topk(vecs, qf, S.TOPK, dot=dot),
+        lambda dot: S.lsh_topk(spark, vecs, qf, dot=dot),
+    ):
+        hof = sorted(map(tuple, q(S._dot_hof).collect()))
+        unrolled = sorted(map(tuple, q(S._dot).collect()))
+        assert hof == unrolled and len(hof) > 0
