@@ -61,6 +61,67 @@ def _arrow_schema():
     return to_arrow_schema(DOCS_EXTRACTED_SCHEMA)
 
 
+def _extract_one(
+    doc_id: str,
+    kinds: list,
+    texts: list,
+    refs: list,
+    lo: int,
+    hi: int,
+    out_k: list,
+    out_t: list,
+    out_r: list,
+    out_o: list,
+) -> tuple[int, str, str | None]:
+    """Dispatch ONE document's raw spans [lo, hi) into the flat output
+    lists; returns (n_spans, method, err). Shared by the Arrow kernel
+    below and the fused datagen+extract kernel (corpus generation and
+    extraction in one Python pass — no intermediate Arrow round trip)."""
+    mark = len(out_k)  # per-doc append barrier: the except branch
+    # truncates back to it so a mid-append failure can never leak
+    # orphan values into the NEXT document's span list (the cum
+    # offsets would silently absorb them — cross-doc corruption)
+    try:
+        if hi > lo and kinds[lo] == RAW_HTML:
+            html = "\n".join(
+                texts[j] for j in range(lo, hi) if kinds[j] == RAW_HTML and texts[j]
+            )
+            out = extract_html_document(doc_id, html)
+            n = len(out)
+            for s in out:
+                out_k.append(s["kind"])
+                out_t.append(s["text"])
+                out_r.append(s["media_ref"])
+                out_o.append(s["offset"])
+            return n, METHOD_DEFAULT, None
+        elif hi > lo and kinds[lo] in _DOC_READERS:
+            reader, joiner = _DOC_READERS[kinds[lo]]
+            fmt = kinds[lo]
+            parts = [texts[j] for j in range(lo, hi) if kinds[j] == fmt and texts[j]]
+            if joiner is None and len(parts) > 1:
+                raise ValueError(f"{fmt}: expected one payload span, got {len(parts)}")
+            out = reader((joiner or "").join(parts))
+            n = len(out)
+            for s in out:
+                out_k.append(s["kind"])
+                out_t.append(s["text"])
+                out_r.append(s["media_ref"])
+                out_o.append(s["offset"])
+            return n, METHOD_DEFAULT, None
+        else:
+            cells, method = extract_pdf_cells_flat(kinds, texts, refs, lo, hi)
+            n = len(cells)
+            for o, (_, _, _, k, t, m) in enumerate(cells):
+                out_k.append(k)
+                out_t.append(t)
+                out_r.append(m)
+                out_o.append(o)
+            return n, method, None
+    except Exception as e:
+        del out_k[mark:], out_t[mark:], out_r[mark:], out_o[mark:]
+        return 0, METHOD_FAILED, str(e)[:500]
+
+
 def _extract_auto_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     schema = _arrow_schema()
     spans_t = schema.field("spans").type
@@ -81,52 +142,10 @@ def _extract_auto_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Record
         methods: list = []
         errors: list = []
         for i, doc_id in enumerate(ids):
-            lo, hi = offs[i], offs[i + 1]
-            mark = len(out_k)  # per-doc append barrier: the except branch
-            # truncates back to it so a mid-append failure can never leak
-            # orphan values into the NEXT document's span list (the cum
-            # offsets would silently absorb them — cross-doc corruption)
-            try:
-                if hi > lo and kinds[lo] == RAW_HTML:
-                    html = "\n".join(
-                        texts[j] for j in range(lo, hi) if kinds[j] == RAW_HTML and texts[j]
-                    )
-                    out = extract_html_document(doc_id, html)
-                    n = len(out)
-                    for s in out:
-                        out_k.append(s["kind"])
-                        out_t.append(s["text"])
-                        out_r.append(s["media_ref"])
-                        out_o.append(s["offset"])
-                    method, err = METHOD_DEFAULT, None
-                elif hi > lo and kinds[lo] in _DOC_READERS:
-                    reader, joiner = _DOC_READERS[kinds[lo]]
-                    fmt = kinds[lo]
-                    parts = [
-                        texts[j] for j in range(lo, hi) if kinds[j] == fmt and texts[j]
-                    ]
-                    if joiner is None and len(parts) > 1:
-                        raise ValueError(f"{fmt}: expected one payload span, got {len(parts)}")
-                    out = reader((joiner or "").join(parts))
-                    n = len(out)
-                    for s in out:
-                        out_k.append(s["kind"])
-                        out_t.append(s["text"])
-                        out_r.append(s["media_ref"])
-                        out_o.append(s["offset"])
-                    method, err = METHOD_DEFAULT, None
-                else:
-                    cells, method = extract_pdf_cells_flat(kinds, texts, refs, lo, hi)
-                    n = len(cells)
-                    for o, (_, _, _, k, t, m) in enumerate(cells):
-                        out_k.append(k)
-                        out_t.append(t)
-                        out_r.append(m)
-                        out_o.append(o)
-                    err = None
-            except Exception as e:
-                del out_k[mark:], out_t[mark:], out_r[mark:], out_o[mark:]
-                n, method, err = 0, METHOD_FAILED, str(e)[:500]
+            n, method, err = _extract_one(
+                doc_id, kinds, texts, refs, offs[i], offs[i + 1],
+                out_k, out_t, out_r, out_o,
+            )
             methods.append(method)
             errors.append(err)
             cum.append(cum[-1] + n)
@@ -157,3 +176,83 @@ def extract_auto(df):
     return df.select("doc_id", "spans").mapInArrow(
         _extract_auto_arrow, schema=DOCS_EXTRACTED_SCHEMA
     )
+
+
+def _gen_extract_arrow(skew: bool):
+    """FUSED corpus-generation + extraction kernel (r8): one Python pass
+    per task instead of two chained mapInArrow nodes. The composed
+    docs_raw -> extract_auto pipeline serializes every generated raw
+    span Python -> Arrow -> JVM -> Arrow -> Python between the two
+    kernels; the raw spans exist only to be consumed by the dispatcher,
+    so the fused kernel hands each document's freshly generated span
+    lists straight to _extract_one. Output and dispatch logic are
+    byte-identical to the composed route (shared _extract_one;
+    test_extract.test_fused_gen_extract_matches_composed pins row
+    equality, skewed and unskewed)."""
+    from ..corpus import doc_id_str, render_raw_spans
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        schema = _arrow_schema()
+        spans_t = schema.field("spans").type
+        struct_fields = [spans_t.value_type.field(i) for i in range(4)]
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            texts = b.column(1).to_pylist()
+            out_ids: list = []
+            out_k: list = []
+            out_t: list = []
+            out_r: list = []
+            out_o: list = []
+            cum = [0]
+            methods: list = []
+            errors: list = []
+            for raw_id, text in zip(ids, texts):
+                did = int(raw_id)
+                if skew:
+                    if did % 50 == 0:
+                        text = " ".join([text] * 30)
+                    elif did % 10 == 0:
+                        text = " ".join([text] * 5)
+                raw = render_raw_spans(did, text)
+                kinds = [s["kind"] for s in raw]
+                rtexts = [s["text"] for s in raw]
+                refs = [s["media_ref"] for s in raw]
+                doc_id = doc_id_str(did)
+                n, method, err = _extract_one(
+                    doc_id, kinds, rtexts, refs, 0, len(raw),
+                    out_k, out_t, out_r, out_o,
+                )
+                out_ids.append(doc_id)
+                methods.append(method)
+                errors.append(err)
+                cum.append(cum[-1] + n)
+            vals = pa.StructArray.from_arrays(
+                [
+                    pa.array(out_k, type=pa.string()),
+                    pa.array(out_t, type=pa.string()),
+                    pa.array(out_r, type=pa.string()),
+                    pa.array(out_o, type=pa.int32()),
+                ],
+                fields=struct_fields,
+            )
+            spans_arr = pa.ListArray.from_arrays(pa.array(cum, type=pa.int32()), vals)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, type=pa.string()),
+                    spans_arr,
+                    pa.array(methods, type=pa.string()),
+                    pa.array(errors, type=pa.string()),
+                ],
+                names=["doc_id", "spans", "conversion_method", "error"],
+            )
+
+    return gen
+
+
+def gen_extract_auto(spark, sf_dir: str, skew: bool = False):
+    """documents.parquet -> extracted spans in ONE narrow map stage
+    (fused datagen + extraction; see _gen_extract_arrow)."""
+    from ..tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(_gen_extract_arrow(skew), schema=DOCS_EXTRACTED_SCHEMA)

@@ -31,11 +31,14 @@ def _exploded(df):
 
 
 def extract_all(spark, sf_dir, skew: bool = False):
-    """Full extraction pipeline: one scan, one generation pass, one
-    dispatching kernel (extract_auto) — zero shuffles. The flagship."""
-    from .operators.dispatch import extract_auto
+    """Full extraction pipeline: one scan, one FUSED generation +
+    dispatch kernel — zero shuffles, a single Python boundary (r8: the
+    composed docs_raw -> extract_auto route round-tripped every raw span
+    through Arrow/JVM between its two kernels; gen_extract_auto is
+    differential-tested row-equal). The flagship."""
+    from .operators.dispatch import gen_extract_auto
 
-    return extract_auto(docs_raw(spark, sf_dir, which="all", skew=skew))
+    return gen_extract_auto(spark, sf_dir, skew=skew)
 
 
 def q_extract_html_spans(spark, sf_dir):

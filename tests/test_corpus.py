@@ -84,3 +84,37 @@ def test_oracle_sql_matches_python_expectation(sf_dir, documents_pdf):
     assert len(got) == len(want)
     for g, w in zip(got, want):
         assert g == w, f"oracle mismatch: {g} != {w}"
+
+
+def test_arrow_datagen_matches_pandas(spark, sf_dir):
+    """The r8 flat-column Arrow datagen must produce row-identical output
+    to the pandas reference (_gen_batches), skewed and unskewed."""
+    from pyspark.sql import types as T
+
+    from docling_fast_server_spark import corpus as C
+    from docling_fast_server_spark.model import SPANS_TYPE
+    from docling_fast_server_spark.tables import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("spans", SPANS_TYPE, False),
+            T.StructField("n_chars", T.IntegerType(), False),
+        ]
+    )
+    for skew in (False, True):
+        arrow = docs.mapInArrow(
+            C._gen_batches_arrow(out_schema, skew), schema=out_schema
+        )
+        pandas = docs.mapInPandas(
+            C._gen_batches([f.name for f in out_schema.fields], skew),
+            schema=out_schema,
+        )
+        a = sorted(
+            (r.doc_id, tuple(map(tuple, r.spans)), r.n_chars) for r in arrow.collect()
+        )
+        p = sorted(
+            (r.doc_id, tuple(map(tuple, r.spans)), r.n_chars) for r in pandas.collect()
+        )
+        assert a == p and len(a) == 500

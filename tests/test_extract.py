@@ -180,3 +180,24 @@ def test_caps_ratio_counts_uppercase_letters_only():
     assert _caps_ratio("BUY NOW") == 1.0
     assert _caps_ratio("MiXeD case") == 3 / 9
     assert _caps_ratio("1234 !!") == 0.0
+
+
+def test_fused_gen_extract_matches_composed(spark, sf_dir):
+    """The r8 fused datagen+extract kernel must be row-identical to the
+    composed docs_raw -> extract_auto route, skewed and unskewed."""
+    from docling_fast_server_spark.corpus import docs_raw
+    from docling_fast_server_spark.operators.dispatch import (
+        extract_auto,
+        gen_extract_auto,
+    )
+
+    def rows(df):
+        return sorted(
+            (r.doc_id, tuple(map(tuple, r.spans)), r.conversion_method, r.error)
+            for r in df.collect()
+        )
+
+    for skew in (False, True):
+        fused = rows(gen_extract_auto(spark, sf_dir, skew=skew))
+        composed = rows(extract_auto(docs_raw(spark, sf_dir, which="all", skew=skew)))
+        assert fused == composed and len(fused) == 500

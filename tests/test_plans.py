@@ -43,9 +43,20 @@ def test_extraction_plan_is_shuffle_free(spark, sf_dir):
 
     plan = _plan(extract_auto(docs_raw(spark, sf_dir)))
     assert "Exchange" not in plan, plan
-    assert "MapInPandas" in plan  # the datagen kernel
+    assert "MapInPandas" not in plan  # r8: datagen is flat-column Arrow too
     assert "MapInArrow" in plan or "PythonMapInArrow" in plan, plan  # the
-    # flat-column extraction kernel (no per-span dicts cross the boundary)
+    # flat-column kernels (no per-span dicts cross the boundary)
+
+
+def test_fused_extraction_single_python_node(spark, sf_dir):
+    """The flagship extract_all runs ONE fused Python kernel (r8): no
+    intermediate raw-span Arrow round trip, no Exchange."""
+    from docling_fast_server_spark.queries import extract_all
+
+    plan = _plan(extract_all(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInArrow") + plan.count("PythonMapInArrow") >= 1
+    assert plan.count("_gen_extract") <= 1 and "MapInPandas" not in plan
 
 
 def test_exports_stay_jvm_side(spark, sf_dir):
@@ -191,7 +202,9 @@ def test_binary_extraction_plan_is_shuffle_free(spark, sf_dir):
 
     plan = _plan(extract_binary(pack_raw(docs_raw(spark, sf_dir))))
     assert "Exchange" not in plan, plan
-    assert plan.count("MapInPandas") == 3  # datagen, pack, parse+extract
+    # pack + parse+extract are MapInPandas; datagen is Arrow since r8
+    assert plan.count("MapInPandas") == 2
+    assert plan.count("MapInArrow") + plan.count("PythonMapInArrow") == 1
 
 
 def test_similarity_topk_pushdown_and_broadcasts(spark, sf_dir):
