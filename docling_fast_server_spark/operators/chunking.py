@@ -60,7 +60,111 @@ def _tok_arr(col, tokenizer: str):
     raise ValueError(f"unknown tokenizer {tokenizer!r}")
 
 
+def _tok_sql(col: str, tokenizer: str) -> str:
+    """SQL rendering of _tok_arr (same expressions, parsed JVM-side)."""
+    if tokenizer == "ws":
+        return f"split({col}, ' ')"
+    if tokenizer == "bpe":
+        from .textstats import BPE_RE
+
+        return f"regexp_extract_all({col}, '{BPE_RE}', 0)"
+    raise ValueError(f"unknown tokenizer {tokenizer!r}")
+
+
 def _chunk_spans_hof(
+    df, budget: int = DEFAULT_BUDGET, spans_col: str = "spans", tokenizer: str = "ws"
+):
+    """SQL-string build of the zero-shuffle HOF chunker (r8): the three
+    selects below are the same expression trees _chunk_spans_hof_cols
+    constructs through the Column API, parsed JVM-side in one call each
+    instead of ~150 py4j round-trips (~0.25-0.35 s of driver latency per
+    bench rep). Differential-tested row-equal to the Column reference
+    (test_chunking.test_hof_expr_matches_column_reference); semantics
+    documented on the reference below."""
+    B = budget
+
+    def ntok(s: str) -> str:
+        return (
+            f"CASE WHEN {s}.text IS NULL THEN CAST(0 AS BIGINT) "
+            f"ELSE CAST(size({_tok_sql(f'{s}.text', tokenizer)}) AS BIGINT) END"
+        )
+
+    items_t = (
+        "array<struct<offset:int,heading:string,n_tok:bigint,"
+        "text:string,cum_before:bigint>>"
+    )
+    init = (
+        "struct(CAST('' AS STRING) AS heading, CAST(0 AS BIGINT) AS cum, "
+        f"CAST(array() AS {items_t}) AS items)"
+    )
+    heading = (
+        "CASE WHEN s.kind = 'section_header' AND s.text IS NOT NULL "
+        "THEN s.text ELSE acc.heading END"
+    )
+    merge = (
+        f"struct({heading} AS heading, (acc.cum + {ntok('s')}) AS cum, "
+        f"concat(acc.items, array(struct(s.offset AS offset, {heading} AS heading, "
+        f"{ntok('s')} AS n_tok, s.text AS text, acc.cum AS cum_before))) AS items)"
+    )
+    enr = (
+        f"aggregate(array_sort({spans_col}, (a, b) -> a.offset - b.offset), "
+        f"{init}, (acc, s) -> {merge}) AS enr"
+    )
+    d = df.selectExpr("doc_id", enr)
+
+    p_text = (
+        "CASE WHEN it.text IS NULL THEN CAST(NULL AS STRING) ELSE "
+        f"array_join(slice({_tok_sql('it.text', tokenizer)}, "
+        f"CAST(p * {B} + 1 AS INT), {B}), ' ') END"
+    )
+    p_tok = (
+        "CASE WHEN it.text IS NULL THEN CAST(0 AS BIGINT) ELSE "
+        f"least(CAST({B} AS BIGINT), it.n_tok - p * {B}) END"
+    )
+    piece_rows = (
+        f"transform(sequence(CAST(0 AS BIGINT), "
+        f"greatest(CEIL(it.n_tok / {B}), CAST(1 AS BIGINT)) - 1), "
+        f"p -> struct(CAST(FLOOR((it.cum_before + p * {B}) / {B}) AS BIGINT) "
+        f"AS chunk_idx, it.offset AS offset, it.heading AS heading, "
+        f"{p_text} AS p_text, {p_tok} AS p_tok))"
+    )
+    d = d.selectExpr(
+        "doc_id", f"flatten(transform(enr.items, it -> {piece_rows})) AS pieces"
+    )
+
+    mem = "filter(pieces, x -> x.chunk_idx = ci)"
+    chunk_of = (
+        f"struct(CAST(ci AS INT) AS chunk_idx, "
+        f"element_at({mem}, 1).heading AS heading, "
+        f"array_join(transform(filter({mem}, m -> m.p_text IS NOT NULL), "
+        f"m -> m.p_text), ' ') AS chunk_text, "
+        f"aggregate({mem}, CAST(0 AS BIGINT), (a, m) -> a + m.p_tok) AS n_tokens, "
+        f"CAST(size(array_distinct(transform({mem}, m -> m.offset))) AS BIGINT) "
+        f"AS n_spans)"
+    )
+    max_idx = (
+        "coalesce(array_max(transform(pieces, x -> x.chunk_idx)), CAST(0 AS BIGINT))"
+    )
+    fallback = (
+        "array(struct(CAST(0 AS INT) AS chunk_idx, '' AS heading, "
+        "'' AS chunk_text, CAST(0 AS BIGINT) AS n_tokens, "
+        "CAST(0 AS BIGINT) AS n_spans))"
+    )
+    chunks = (
+        f"CASE WHEN coalesce(size(pieces), 0) = 0 THEN {fallback} "
+        f"ELSE transform(sequence(CAST(0 AS BIGINT), {max_idx}), ci -> {chunk_of}) END"
+    )
+    return d.selectExpr("doc_id", f"explode({chunks}) AS c").selectExpr(
+        "doc_id",
+        "c.chunk_idx AS chunk_idx",
+        "c.heading AS heading",
+        "c.chunk_text AS chunk_text",
+        "c.n_tokens AS n_tokens",
+        "c.n_spans AS n_spans",
+    )
+
+
+def _chunk_spans_hof_cols(
     df, budget: int = DEFAULT_BUDGET, spans_col: str = "spans", tokenizer: str = "ws"
 ):
     """DataFrame(doc_id, spans, ...) -> DataFrame(doc_id, chunk_idx,

@@ -365,3 +365,31 @@ def test_auto_route_warns_on_unmaterialized_kernel_input(spark, sf_dir):
             chunk_spans(cached, route="auto")  # materialized: safe
         finally:
             cached.unpersist()
+
+
+def test_hof_expr_matches_column_reference(spark, sf_dir):
+    """The r8 SQL-string build of the HOF chunker must be row-identical
+    to the Column-API reference on the real extracted corpus (both
+    tokenizers), including the empty-spans whole-doc fallback."""
+    from pyspark.sql import functions as F
+
+    from docling_fast_server_spark.operators import chunking as C
+    from docling_fast_server_spark.queries import extract_all
+
+    base = extract_all(spark, sf_dir).localCheckpoint(eager=True)
+    with_empty = base.unionByName(
+        base.limit(1).select(
+            F.lit("doc-empty").alias("doc_id"),
+            F.expr("CAST(array() AS array<struct<kind:string,text:string,"
+                   "media_ref:string,offset:int>>)").alias("spans"),
+            F.lit("failed").alias("conversion_method"),
+            F.lit(None).cast("string").alias("error"),
+        )
+    )
+    for tokenizer, budget in (("ws", 8), ("bpe", 10)):
+        got = sorted(map(tuple, C._chunk_spans_hof(
+            with_empty, budget=budget, tokenizer=tokenizer).collect()))
+        want = sorted(map(tuple, C._chunk_spans_hof_cols(
+            with_empty, budget=budget, tokenizer=tokenizer).collect()))
+        assert got == want and len(got) > 500
+        assert any(r[0] == "doc-empty" for r in got)
