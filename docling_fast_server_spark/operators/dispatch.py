@@ -256,3 +256,69 @@ def gen_extract_auto(spark, sf_dir: str, skew: bool = False):
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInArrow(_gen_extract_arrow(skew), schema=DOCS_EXTRACTED_SCHEMA)
+
+
+def _gen_extract_render_arrow(formats: tuple, skew: bool):
+    """Fused datagen + extraction + export rendering (r8): the export
+    queries need (doc_id, <serialization>) only, so rendering inside the
+    same Python pass ships ONE string per document across the boundary
+    instead of the whole spans array, and replaces the interpreted HOF
+    render projection. Renderers are byte-exact Python twins of the JVM
+    expressions (exports.render_doc_py; differential-tested)."""
+    from ..corpus import doc_id_str, render_raw_spans
+    from .exports import render_doc_py
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            ids = b.column(0).to_pylist()
+            texts = b.column(1).to_pylist()
+            out_ids: list = []
+            rendered: list[list] = [[] for _ in formats]
+            out_k: list = []
+            out_t: list = []
+            out_r: list = []
+            out_o: list = []
+            for raw_id, text in zip(ids, texts):
+                did = int(raw_id)
+                if skew:
+                    if did % 50 == 0:
+                        text = " ".join([text] * 30)
+                    elif did % 10 == 0:
+                        text = " ".join([text] * 5)
+                raw = render_raw_spans(did, text)
+                kinds = [s["kind"] for s in raw]
+                rtexts = [s["text"] for s in raw]
+                refs = [s["media_ref"] for s in raw]
+                doc_id = doc_id_str(did)
+                del out_k[:], out_t[:], out_r[:], out_o[:]
+                _extract_one(
+                    doc_id, kinds, rtexts, refs, 0, len(raw),
+                    out_k, out_t, out_r, out_o,
+                )
+                out_ids.append(doc_id)
+                for fi, fmt in enumerate(formats):
+                    rendered[fi].append(
+                        render_doc_py(fmt, out_k, out_t, out_r, out_o)
+                    )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, type=pa.string())]
+                + [pa.array(col, type=pa.string()) for col in rendered],
+                names=["doc_id", *formats],
+            )
+
+    return gen
+
+
+def gen_extract_render_auto(spark, sf_dir: str, formats: tuple, skew: bool = False):
+    """documents.parquet -> (doc_id, <rendered serializations>) in one
+    narrow map stage; `formats` from {markdown, html, doctags, doc_json}."""
+    from pyspark.sql import types as T
+
+    from ..tables import read_table
+
+    schema = T.StructType(
+        [T.StructField("doc_id", T.StringType(), False)]
+        + [T.StructField(f, T.StringType(), False) for f in formats]
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(_gen_extract_render_arrow(tuple(formats), skew), schema=schema)

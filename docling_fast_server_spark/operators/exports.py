@@ -140,6 +140,126 @@ def spans_to_json(spans: Column) -> Column:
     return F.concat(F.lit("["), F.array_join(F.transform(spans, _render_json), ","), F.lit("]"))
 
 
+# ---------------------------------------------------------------------------
+# Python twins of the JVM renderers (r8) — used by the fused
+# extract+render kernel (dispatch.gen_extract_render_auto) so the export
+# queries serialize ONE string per document out of the Python boundary
+# instead of the whole spans array plus an interpreted HOF render pass.
+# Byte-exact mirrors of _render_* above (same branch order, same escape
+# chains, same substring_index / array_join-null semantics);
+# test_exports_fused_matches_jvm pins equality against with_exports on
+# the real corpus.
+# ---------------------------------------------------------------------------
+def _xml_escape_py(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _attr_escape_py(s: str) -> str:
+    return _xml_escape_py(s).replace('"', "&quot;")
+
+
+def _json_escape_py(s: str) -> str:
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+def _render_md_py(kind, text, ref):
+    if kind == K_SECTION_HEADER:
+        return None if text is None else "## " + text
+    if kind == K_TEXT:
+        return text
+    if kind == K_KEY_VALUE:
+        return None if text is None else "- " + text
+    if kind == K_CODE:
+        return None if text is None else "```\n" + text + "\n```"
+    if kind == K_FORMULA:
+        return None if text is None else "$$ " + text + " $$"
+    if kind == K_TABLE:
+        return None if text is None else "| " + text + " |"
+    if kind == K_PICTURE:
+        return "![image](" + (ref or "") + ")"
+    return text or ""
+
+
+def _substring_index_py(s: str, delim: str, count: int) -> str:
+    # Spark substring_index: count=1 -> before the FIRST delim (whole
+    # string if absent); count=-1 -> after the LAST delim
+    if count == 1:
+        i = s.find(delim)
+        return s if i < 0 else s[:i]
+    i = s.rfind(delim)
+    return s if i < 0 else s[i + len(delim):]
+
+
+def _render_html_py(kind, text, ref):
+    e = _xml_escape_py
+    if kind == K_SECTION_HEADER:
+        return None if text is None else "<h2>" + e(text) + "</h2>"
+    if kind == K_TEXT:
+        return None if text is None else "<p>" + e(text) + "</p>"
+    if kind == K_KEY_VALUE:
+        if text is None:
+            return None
+        return (
+            "<dl><dt>" + e(_substring_index_py(text, ": ", 1))
+            + "</dt><dd>" + e(_substring_index_py(text, ": ", -1)) + "</dd></dl>"
+        )
+    if kind == K_CODE:
+        return None if text is None else "<pre><code>" + e(text) + "</code></pre>"
+    if kind == K_FORMULA:
+        return None if text is None else '<div class="math">' + e(text) + "</div>"
+    if kind == K_TABLE:
+        if text is None:
+            return None
+        return (
+            '<table data-ref="' + _attr_escape_py(ref or "") + '">'
+            + e(text) + "</table>"
+        )
+    if kind == K_PICTURE:
+        return '<img src="' + _attr_escape_py(ref or "") + '"/>'
+    return "" if text is None else e(text)
+
+
+def _render_doctags_py(kind, text, ref):
+    body = text if text is not None else ref
+    return "<" + kind + ">" + _xml_escape_py(body or "") + "</" + kind + ">"
+
+
+def _render_json_py(kind, text, ref, offset):
+    def q(v):
+        return "null" if v is None else '"' + _json_escape_py(v) + '"'
+
+    return (
+        '{"kind":' + q(kind) + ',"text":' + q(text)
+        + ',"media_ref":' + q(ref) + ',"offset":' + str(offset) + "}"
+    )
+
+
+def render_doc_py(fmt: str, kinds, texts, refs, offsets) -> str:
+    """One document's export string from parallel span lists — the
+    array_join semantics of the JVM path (null renders are SKIPPED, no
+    separator; a null doctags render cannot occur)."""
+    if fmt == "markdown":
+        parts = [_render_md_py(k, t, r) for k, t, r in zip(kinds, texts, refs)]
+        return "\n\n".join(p for p in parts if p is not None)
+    if fmt == "html":
+        parts = [_render_html_py(k, t, r) for k, t, r in zip(kinds, texts, refs)]
+        return "\n".join(p for p in parts if p is not None)
+    if fmt == "doctags":
+        return "\n".join(
+            _render_doctags_py(k, t, r) for k, t, r in zip(kinds, texts, refs)
+        )
+    if fmt == "doc_json":
+        return (
+            "["
+            + ",".join(
+                _render_json_py(k, t, r, o)
+                for k, t, r, o in zip(kinds, texts, refs, offsets)
+            )
+            + "]"
+        )
+    raise ValueError(f"unknown export format {fmt!r}")
+
+
 def with_exports(df, spans_col: str = "spans"):
     """Fan out all four serializations — the get_output() analog
     (pdf_processor.py:203-224). One narrow projection, zero shuffles."""

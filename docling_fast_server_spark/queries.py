@@ -96,8 +96,16 @@ ORACLE_CONVERSION_METHODS = f"""
 # ---------------------------------------------------------------------------
 # exports — real pipeline output vs SQL-rendered expected spans
 # ---------------------------------------------------------------------------
+# The registered export queries run the FUSED generate+extract+render
+# kernel (r8, dispatch.gen_extract_render_auto): one Python pass, one
+# string per document across the Arrow boundary — byte-identical to
+# with_exports(extract_all(...)) (differential-tested; the JVM render
+# path remains the generic operator for arbitrary extracted frames and
+# the partitioned sink).
 def q_export_markdown(spark, sf_dir):
-    return with_exports(extract_all(spark, sf_dir)).select("doc_id", "markdown")
+    from .operators.dispatch import gen_extract_render_auto
+
+    return gen_extract_render_auto(spark, sf_dir, ("markdown",))
 
 
 def q_export_html(spark, sf_dir):
@@ -113,13 +121,15 @@ def q_export_html_doctags(spark, sf_dir):
     r3 ts_textstats pattern): both serializations in one per-doc
     relation — every byte of the former export_html and export_doctags
     rows is still value-hash-checked."""
-    return with_exports(extract_all(spark, sf_dir)).select(
-        "doc_id", "html", "doctags"
-    )
+    from .operators.dispatch import gen_extract_render_auto
+
+    return gen_extract_render_auto(spark, sf_dir, ("html", "doctags"))
 
 
 def q_export_json(spark, sf_dir):
-    return with_exports(extract_all(spark, sf_dir)).select("doc_id", "doc_json")
+    from .operators.dispatch import gen_extract_render_auto
+
+    return gen_extract_render_auto(spark, sf_dir, ("doc_json",))
 
 
 _MD_RENDER = """

@@ -171,3 +171,24 @@ def test_abandoned_session_entry_is_collectable(spark):
     # the finalizer released the JVM blocks of the abandoned session
     assert jsc.getPersistentRDDs().size() == 0
     assert dedup.clear_caches() == 0
+
+
+def test_exports_fused_matches_jvm(spark, sf_dir):
+    """The r8 fused extract+render kernel must be byte-identical to
+    with_exports(extract_all(...)) for all four serializations on the
+    real corpus (which includes the escape-stress specials)."""
+    from docling_fast_server_spark.operators.dispatch import gen_extract_render_auto
+    from docling_fast_server_spark.operators.exports import with_exports
+    from docling_fast_server_spark.queries import extract_all
+
+    jvm = {
+        r["doc_id"]: (r["markdown"], r["html"], r["doctags"], r["doc_json"])
+        for r in with_exports(extract_all(spark, sf_dir)).collect()
+    }
+    fused = {
+        r["doc_id"]: (r["markdown"], r["html"], r["doctags"], r["doc_json"])
+        for r in gen_extract_render_auto(
+            spark, sf_dir, ("markdown", "html", "doctags", "doc_json")
+        ).collect()
+    }
+    assert fused == jvm and len(fused) == 500
