@@ -183,8 +183,14 @@ def _docs(spark, sf_dir) -> DataFrame:
 # unpersist another session's in-flight hash set mid-query. Callers that
 # share one session across threads still coordinate their own
 # clear_caches() timing — release only after every consumer's action.
+import itertools as _itertools
 import threading as _threading
 import weakref as _weakref
+
+# unique suffixes for the session-scoped temp views the SQL-issued
+# pipeline stages register (names never reused -> no cross-thread
+# clobbering; a view is a name->plan catalog entry, effectively free)
+_VIEW_IDS = _itertools.count()
 
 _CACHES_LOCK = _threading.Lock()
 # session -> list of JVM DataFrame handles (df._jdf, classic PySpark).
@@ -719,6 +725,26 @@ def _minhash_stages(corpus: DataFrame, bucket_cap: int):
     # AQE stages race to materialize a cold cache, each re-running its
     # lineage from the previous cache — measured at ~0.35 s per racing
     # consumer at sf0.1.
+    # r8: the stages below are issued as a handful of spark.sql
+    # statements over temp views of the two cached frames instead of
+    # ~70 chained DataFrame calls. Every classic DataFrame method is a
+    # py4j round trip (~1.7 ms) PLUS an eager re-analysis of the
+    # accumulated plan; profiling showed 428 round trips = 0.77 s per
+    # minhash build even after the expression trees became SQL strings.
+    # The SQL parses to the identical logical plans (HAVING == agg +
+    # filter, LEFT ANTI JOIN USING == left_anti, JOIN USING == the
+    # using-columns join); test_dedup_skew's naive-pipeline differential
+    # and the oracle parity rows pin output equality. View names are
+    # uniqued per build so concurrent threads sharing a session cannot
+    # clobber each other's lineage.
+    sess = corpus.sparkSession
+    tag = f"__mh{next(_VIEW_IDS)}"
+    # tagged stays on the DataFrame API: issuing it as one SQL statement
+    # (combined referenced twice through a CTE over the cached view)
+    # trips INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND in Spark 4.1's analyzer
+    # when the composed dedup_clusters fixpoint re-materializes the
+    # stages under AQE; the expression trees are SQL strings already,
+    # so the residual cost is a handful of DataFrame calls.
     combined = hsdf.selectExpr(
         "doc_id",
         *_SIG_EXPRS,
@@ -741,18 +767,31 @@ def _minhash_stages(corpus: DataFrame, bucket_cap: int):
             "coalesce(c_size, CAST(1 AS BIGINT)) AS csize",
         )
     )
-    rep_sig = tagged.filter("doc_id = rep")
-    bands = rep_sig.selectExpr(
-        "doc_id", f"explode(array({_BAND_STRUCT_EXPRS})) AS bk"
-    ).select("doc_id", "bk.band", "bk.key")
-    capped = _drop_hot_buckets(bands, bucket_cap)
-    cand = (
-        capped.alias("x")
-        .join(capped.alias("y"), ["band", "key"])
-        .filter("x.doc_id < y.doc_id")
-        .selectExpr("x.doc_id AS doc_a", "y.doc_id AS doc_b")
-        .distinct()
-    )
+    tagged.createOrReplaceTempView(f"{tag}_tagged")
+    rep_sig = sess.sql(f"SELECT * FROM {tag}_tagged WHERE doc_id = rep")
+    bands_sql = f"""
+        SELECT doc_id, bk.band AS band, bk.key AS key
+        FROM (SELECT doc_id, explode(array({_BAND_STRUCT_EXPRS})) AS bk
+              FROM {tag}_tagged WHERE doc_id = rep)
+    """
+    bands = sess.sql(bands_sql)
+    cand = sess.sql(f"""
+        WITH bands AS ({bands_sql}),
+        hot AS (
+            SELECT band, key FROM bands
+            GROUP BY band, key HAVING count(1) > {bucket_cap}
+        ),
+        capped AS (
+            SELECT b.doc_id AS doc_id, b.band AS band, b.key AS key
+            FROM bands b LEFT ANTI JOIN hot h
+              ON b.band = h.band AND b.key = h.key
+        )
+        SELECT DISTINCT x.doc_a AS doc_a, y.doc_b AS doc_b
+        FROM (SELECT doc_id AS doc_a, band, key FROM capped) x
+        JOIN (SELECT doc_id AS doc_b, band, key FROM capped) y
+          ON x.band = y.band AND x.key = y.key
+        WHERE x.doc_a < y.doc_b
+    """)
     return hsdf, tagged, rep_sig, cand, bands
 
 
@@ -813,19 +852,39 @@ def _minhash_pairs_impl(
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, banded) — shared by minhash_pairs and the diag variant."""
     hsdf, tagged, rep_sig, cand, bands = _minhash_stages(corpus, bucket_cap)
-    ver = _verify_jaccard(hsdf, cand).filter(f"jaccard >= {JACCARD_THRESHOLD}D")
-    diag = rep_sig.filter("csize > 1").selectExpr(
-        "doc_id AS doc_a", "doc_id AS doc_b", "CAST(1.0 AS DOUBLE) AS jaccard"
-    )
-    rep_pairs = ver.unionByName(diag)
-    ma = tagged.selectExpr("rep AS doc_a", "doc_id AS a")
-    mb = tagged.selectExpr("rep AS doc_b", "doc_id AS b")
-    pairs = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .filter("(a < b) OR ((NOT (doc_a = doc_b)) AND (a > b))")
-        .selectExpr("least(a, b) AS doc_a", "greatest(a, b) AS doc_b", "jaccard")
-    )
+    # same rationale as _minhash_stages: verify + diagonal + membership
+    # expansion as ONE sql statement over views of the cached frames
+    sess = corpus.sparkSession
+    tag = f"__mhp{next(_VIEW_IDS)}"
+    hsdf.createOrReplaceTempView(f"{tag}_hs")
+    tagged.createOrReplaceTempView(f"{tag}_tagged")
+    cand.createOrReplaceTempView(f"{tag}_cand")
+    pairs = sess.sql(f"""
+        WITH ver AS (
+            SELECT doc_a, doc_b, {_JACCARD_EXPR}
+            FROM (
+                SELECT p.doc_a AS doc_a, p.doc_b AS doc_b, a.hs AS hs_a, b.hs AS hs_b
+                FROM {tag}_cand p
+                JOIN {tag}_hs a ON a.doc_id = p.doc_a
+                JOIN {tag}_hs b ON b.doc_id = p.doc_b
+            )
+        ),
+        rep_pairs AS (
+            SELECT doc_a, doc_b, jaccard FROM ver
+            WHERE jaccard >= {JACCARD_THRESHOLD}D
+            UNION ALL
+            SELECT doc_id AS doc_a, doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+            FROM {tag}_tagged WHERE doc_id = rep AND csize > 1
+        )
+        SELECT least(a, b) AS doc_a, greatest(a, b) AS doc_b, jaccard
+        FROM (
+            SELECT ma.doc_id AS a, mb.doc_id AS b, p.doc_a, p.doc_b, p.jaccard
+            FROM rep_pairs p
+            JOIN {tag}_tagged ma ON ma.rep = p.doc_a
+            JOIN {tag}_tagged mb ON mb.rep = p.doc_b
+        )
+        WHERE (a < b) OR ((NOT (doc_a = doc_b)) AND (a > b))
+    """)
     return pairs, bands
 
 
