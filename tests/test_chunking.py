@@ -376,7 +376,7 @@ def test_hof_expr_matches_column_reference(spark, sf_dir):
     from docling_fast_server_spark.operators import chunking as C
     from docling_fast_server_spark.queries import extract_all
 
-    base = extract_all(spark, sf_dir).localCheckpoint(eager=True)
+    base = extract_all(spark, sf_dir).persist()
     with_empty = base.unionByName(
         base.limit(1).select(
             F.lit("doc-empty").alias("doc_id"),
@@ -393,3 +393,5 @@ def test_hof_expr_matches_column_reference(spark, sf_dir):
             with_empty, budget=budget, tokenizer=tokenizer).collect()))
         assert got == want and len(got) > 500
         assert any(r[0] == "doc-empty" for r in got)
+    base.unpersist()  # shared-session hygiene: test_escaping asserts
+    # zero persistent RDDs survive clear_caches
