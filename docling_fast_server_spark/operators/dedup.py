@@ -1278,7 +1278,7 @@ def q_dedup_embedding(spark, sf_dir):
     # 2^6 keys/band: small key space, so bound the bucket self-join's
     # worst case with deterministic hot-bucket suppression
     # (oracle-mirrored; bucket_tripwire reports when it bites)
-    from .similarity import _route_dot
+    from .similarity import _dot_sql, _route_dot
 
     dot = _route_dot(sf_dir)
     # scale-routed dot (similarity._route_dot): the codegen-unrolled form
@@ -1289,23 +1289,21 @@ def q_dedup_embedding(spark, sf_dir):
     # v is a materialized attribute here (the banding Generate is a
     # projection barrier), so the unrolled element accesses are plain
     # GetArrayItems — no expression-tree blowup (see similarity._dot_hof).
-    capped = _drop_hot_buckets(banded, EMB_BUCKET_CAP).withColumn(
-        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    # Built as SQL strings (r8 — same trees, ~1/500 the py4j cost).
+    capped = _drop_hot_buckets(banded, EMB_BUCKET_CAP).selectExpr(
+        "*", f"sqrt({_dot_sql(dot, 'v', 'v')}) AS nrm"
     )
     x, y = capped.alias("x"), capped.alias("y")
     pairs = (
         x.join(y, ["band", "key"])  # one shuffle on the (band, key) pair
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(
-            F.col("x.vec_id").alias("vec_a"),
-            F.col("y.vec_id").alias("vec_b"),
-            (
-                dot(F.col("x.v"), F.col("y.v"))
-                / (F.col("x.nrm") * F.col("y.nrm"))
-            ).alias("cos"),
+        .filter("x.vec_id < y.vec_id")
+        .selectExpr(
+            "x.vec_id AS vec_a",
+            "y.vec_id AS vec_b",
+            f"({_dot_sql(dot, 'x.v', 'y.v')}) / (x.nrm * y.nrm) AS cos",
         )
-        .filter(F.col("cos") >= COSINE_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos", 4).alias("cos_sim"))
+        .filter(f"cos >= {COSINE_THRESHOLD}D")
+        .selectExpr("vec_a", "vec_b", "round(cos, 4) AS cos_sim")
         .distinct()  # pairs may collide in several bands; cos_sim is a
         # pure function of the pair, so this is exactly pair-dedup
     )

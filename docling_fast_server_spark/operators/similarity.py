@@ -135,50 +135,72 @@ def _parquet_num_rows(path: str) -> int | None:
         return None
 
 
-def _route_dot(sf_dir: str):
+def _route_dot(sf_dir: str) -> str:
     n = _parquet_num_rows(f"{sf_dir}/embeddings.parquet")
-    return _dot if n is None or n >= CODEGEN_MIN_ROWS else _dot_hof
+    return "unrolled" if n is None or n >= CODEGEN_MIN_ROWS else "hof"
+
+
+# SQL renderings of the two dot forms and the HOF norm (r8): the query
+# builds below issue selectExpr strings instead of Column trees — the
+# Column construction of the unrolled dot alone is ~0.22 s of py4j
+# latency per build, and each HOF lambda ~15-20 ms. The parsed
+# expressions are the identical Catalyst trees (left-associated `+`
+# chain; aggregate/zip_with lambdas; 0.0D double literal seed).
+_DOT_HOF_SQL = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+_DOT_UNROLLED_SQL = " + ".join(f"{{a}}[{i}] * {{b}}[{i}]" for i in range(DIM))
+
+
+def _dot_sql(route: str, a: str, b: str) -> str:
+    if route == "hof":
+        return _DOT_HOF_SQL.format(a=a, b=b)
+    if route == "unrolled":
+        return _DOT_UNROLLED_SQL.format(a=a, b=b)
+    raise ValueError(f"unknown dot route {route!r}")
+
+
+def _norm_sql(col: str) -> str:
+    return f"sqrt({_DOT_HOF_SQL.format(a=col, b=col)})"
 
 
 def _rank_topk(scored, k: int):
     """(q_id, neighbor_id, cos3) -> top-k per query with the coarse-round
     + id tiebreak rank (WindowGroupLimit pushes the filter into the
     sort, so no query's full candidate list ever materializes)."""
-    w = Window.partitionBy("q_id").orderBy(F.col("cos3").desc(), F.col("neighbor_id").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "neighbor_id", "rank", F.col("cos3").alias("cos_sim"))
+        scored.selectExpr(
+            "q_id",
+            "neighbor_id",
+            "cos3",
+            "CAST(row_number() OVER (PARTITION BY q_id "
+            "ORDER BY cos3 DESC, neighbor_id ASC) AS INT) AS rank",
+        )
+        .filter(f"rank <= {k}")
+        .selectExpr("q_id", "neighbor_id", "rank", "cos3 AS cos_sim")
     )
 
 
-def brute_topk(vecs: DataFrame, query_filter, k: int = TOPK, dot=None) -> DataFrame:
+def brute_topk(vecs: DataFrame, query_filter, k: int = TOPK, dot: str | None = None) -> DataFrame:
     """Exact cosine top-k of every query_filter row against the full
     table. Query side is tiny -> broadcast; the scan side stays
     partition-parallel via the input layout (no repartition — a
     production table is thousands of splits; the bench materializes the
-    same layout). ``dot`` picks the per-pair dot implementation (default
-    the codegen-unrolled form — see _route_dot for the scale routing;
-    both forms are bit-identical). Output (q_id, neighbor_id, rank,
-    cos_sim)."""
-    dot = dot or _dot
-    queries = vecs.filter(query_filter).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        _norm(F.col("v")).alias("qn"),
+    same layout). ``dot`` picks the per-pair dot route ('unrolled' — the
+    codegen at-scale default — or 'hof'; see _route_dot; both forms are
+    bit-identical). Output (q_id, neighbor_id, rank, cos_sim)."""
+    dot = dot or "unrolled"
+    queries = vecs.filter(query_filter).selectExpr(
+        "vec_id AS q_id", "v AS qv", f"{_norm_sql('v')} AS qn"
     )
     scored = (
-        vecs.withColumn("nrm", _norm(F.col("v")))
+        vecs.selectExpr("vec_id", "v", f"{_norm_sql('v')} AS nrm")
         .crossJoin(F.broadcast(queries))
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .select(
+        .filter("NOT (vec_id = q_id)")
+        .selectExpr(
             "q_id",
-            F.col("vec_id").alias("neighbor_id"),
+            "vec_id AS neighbor_id",
             # one dot per pair; norms precomputed per ROW (same doubles,
             # qn*nrm preserves the dot/(norm_a*norm_b) multiplication order)
-            F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 3
-            ).alias("cos3"),
+            f"round(({_dot_sql(dot, 'qv', 'v')}) / (qn * nrm), 3) AS cos3",
         )
     )
     return _rank_topk(scored, k)
@@ -361,15 +383,15 @@ def lsh_topk(
     cos_sim) — approximate by construction; the oracle reproduces the
     same buckets so results match exactly. ``dot`` routes the per-pair
     dot exactly as in brute_topk (bit-identical either way)."""
-    dot = dot or _dot
-    banded = banded_buckets(spark, vecs, bands, ppb).withColumn(
-        "nrm", _norm(F.col("v"))
+    dot = dot or "unrolled"
+    banded = banded_buckets(spark, vecs, bands, ppb).selectExpr(
+        "*", f"{_norm_sql('v')} AS nrm"
     )
-    queries = banded.filter(query_filter).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.col("keys").alias("qkeys"),
+    queries = banded.filter(query_filter).selectExpr(
+        "vec_id AS q_id",
+        "v AS qv",
+        "nrm AS qn",
+        "keys AS qkeys",
         "band",
         "key",
     )
@@ -383,21 +405,19 @@ def lsh_topk(
     # this join has no hot-bucket suppression: with a cap, the first
     # shared band's bucket could be dropped while a later one survives —
     # dedup_embedding keeps its distinct for exactly that reason.)
-    first_shared = F.lit(-1)
+    first_shared = "-1"
     for b in reversed(range(bands)):
-        first_shared = F.when(
-            F.col("keys")[b] == F.col("qkeys")[b], F.lit(b)
-        ).otherwise(first_shared)
+        first_shared = (
+            f"(CASE WHEN keys[{b}] = qkeys[{b}] THEN {b} ELSE {first_shared} END)"
+        )
     scored = (
         banded.join(F.broadcast(queries), ["band", "key"])
-        .filter(F.col("vec_id") != F.col("q_id"))
-        .filter(F.col("band") == first_shared)
-        .select(
+        .filter("NOT (vec_id = q_id)")
+        .filter(f"band = {first_shared}")
+        .selectExpr(
             "q_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 3
-            ).alias("cos3"),
+            "vec_id AS neighbor_id",
+            f"round(({_dot_sql(dot, 'qv', 'v')}) / (qn * nrm), 3) AS cos3",
         )
     )
     return _rank_topk(scored, k)

@@ -401,7 +401,7 @@ def test_dot_route_equivalence(spark, sf_dir):
 
     from docling_fast_server_spark.operators import similarity as S
 
-    assert S._route_dot(sf_dir) is S._dot_hof  # 500 rows < CODEGEN_MIN_ROWS
+    assert S._route_dot(sf_dir) == "hof"  # 500 rows < CODEGEN_MIN_ROWS
     assert S._parquet_num_rows(f"{sf_dir}/embeddings.parquet") == 500
     assert S._parquet_num_rows("/nonexistent/path") is None
 
@@ -411,6 +411,6 @@ def test_dot_route_equivalence(spark, sf_dir):
         lambda dot: S.brute_topk(vecs, qf, S.TOPK, dot=dot),
         lambda dot: S.lsh_topk(spark, vecs, qf, dot=dot),
     ):
-        hof = sorted(map(tuple, q(S._dot_hof).collect()))
-        unrolled = sorted(map(tuple, q(S._dot).collect()))
+        hof = sorted(map(tuple, q("hof").collect()))
+        unrolled = sorted(map(tuple, q("unrolled").collect()))
         assert hof == unrolled and len(hof) > 0
